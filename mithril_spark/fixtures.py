@@ -1,0 +1,213 @@
+"""Deterministic synthetic `pages` corpus generator (FIXTURES.md §1).
+
+Seeded (default 42), no wall-clock, shaped like the production input table
+``pages(url, warc_ts, html, text, lang)``. The HTML grammar exercises every
+reference parser branch: title routing, discard sections with tag-like junk,
+comments containing '>', anchors (incl. %XX hrefs and nesting), base/embed/
+meta (description, robots noindex, property), <html lang>, named/numeric/
+invalid entities, acronym/number/punctuation token shapes, stopwords, and
+adjacent word runs for quote/phrase queries.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+VOCAB = [
+    "search", "engine", "index", "ranking", "crawler", "parser", "query",
+    "vector", "matrix", "tensor", "spark", "shuffle", "partition", "mithril",
+    "forge", "anvil", "hammer", "quartz", "basalt", "granite", "marble",
+    "python", "lambda", "stream", "batch", "window", "join", "filter",
+    "bloom", "sketch", "hash", "tree", "graph", "node", "edge", "page",
+    "web", "text", "token", "term", "document", "corpus", "shard", "block",
+    "delta", "codec", "score", "rank", "title", "anchor", "cache", "memory",
+]
+STOP_SAMPLE = ["the", "and", "of", "to", "in", "is", "for", "with", "on", "by"]
+ACRONYMS = ["NASA", "HTML", "BM25", "API", "GPU", "JSON", "HTTP"]
+ODD_TOKENS = [
+    "3.14159", "2024", "foo|bar", "a=b", "www.example", "site.com",
+    "x" * 70, "don't", "re-index", "C3PO", "半角", "café",
+]
+ENTITY_SNIPPETS = [
+    "&amp;", "&lt;tag&gt;", "&nbsp;", "&alpha;&beta;", "&rsquo;", "&#65;",
+    "&#x42;", "&#160;", "&bogus;", "&#xZZ;", "&#; ", "&unterminated",
+    "&hellip;", "&euro;100",
+]
+
+DOMAINS = [
+    ("https", "en.wikipedia.org", True),
+    ("https", "github.com", True),
+    ("https", "nature.com", True),
+    ("https", "example.org", False),
+    ("http", "blog.example.net", False),
+    ("https", "news.site42.io", False),
+    ("http", "a.b.c.deepsub.example.com", False),
+    ("https", "averyveryverylongdomainname.info", False),
+    ("https", "www.stackoverflow.com", False),
+]
+EXTENSIONS = [".html", ".php", "", ".htm", ".zip", ".asp"]
+
+
+def _words(rng: random.Random, n: int, *, stopword_rate: float = 0.3) -> list[str]:
+    out = []
+    for _ in range(n):
+        r = rng.random()
+        if r < stopword_rate:
+            out.append(rng.choice(STOP_SAMPLE))
+        elif r < stopword_rate + 0.05:
+            out.append(rng.choice(ACRONYMS))
+        elif r < stopword_rate + 0.08:
+            out.append(rng.choice(ODD_TOKENS))
+        else:
+            out.append(rng.choice(VOCAB))
+    return out
+
+
+def _make_url(rng: random.Random, i: int) -> str:
+    scheme, domain, _ = DOMAINS[i % len(DOMAINS)]
+    depth = rng.randint(0, 4)
+    parts = [rng.choice(VOCAB) for _ in range(depth)]
+    ext = rng.choice(EXTENSIONS)
+    path = "/".join(parts)
+    url = f"{scheme}://{domain}/{path}"
+    if path and ext:
+        url += ext
+    if rng.random() < 0.2:
+        url += f"?q={rng.choice(VOCAB)}&page={rng.randint(1, 3)}"
+    if rng.random() < 0.1:
+        url += f"/{rng.randint(10000, 99999)}"
+    return url + f"#id{i}" if False else url + ("" if i is None else f"?doc={i}" if rng.random() < 0.15 else "")
+
+
+def _make_html(rng: random.Random, i: int) -> tuple[str, str]:
+    """Returns (html, lang_attr)."""
+    lang_roll = rng.random()
+    if lang_roll < 0.75:
+        lang = "en"
+    elif lang_roll < 0.82:
+        lang = rng.choice(["en-US", "en_GB"])
+    elif lang_roll < 0.92:
+        lang = rng.choice(["fr", "de", "zh"])
+    else:
+        lang = ""
+
+    title = " ".join(_words(rng, rng.randint(2, 7), stopword_rate=0.15))
+    has_title = rng.random() > 0.06
+    noindex = rng.random() < 0.04
+    desc = " ".join(_words(rng, rng.randint(4, 12)))
+
+    body_chunks: list[str] = []
+    n_paras = rng.randint(2, 6)
+    for _ in range(n_paras):
+        para = _words(rng, rng.randint(10, 60))
+        # seed adjacent runs for quote/phrase queries
+        if rng.random() < 0.5:
+            para.extend(["search", "engine"])
+        if rng.random() < 0.3:
+            para.extend(["open", "source", "spark", "engine"])
+        if rng.random() < 0.25:
+            para.append(rng.choice(ENTITY_SNIPPETS))
+        tag = rng.choice(["p", "div", "li", "section", "unknowntag", "b"])
+        body_chunks.append(f"<{tag}>" + " ".join(para) + f"</{tag}>")
+
+    if rng.random() < 0.4:
+        body_chunks.append(
+            "<script type=\"text/javascript\">var x = '<fake>'; if (a > b) { run(); }</script>"
+        )
+    if rng.random() < 0.25:
+        body_chunks.append("<style>.cls > p { color: red; }</style>")
+    if rng.random() < 0.2:
+        body_chunks.append("<svg viewBox=\"0 0 1 1\"><path d=\"M0 0\"/></svg>")
+    if rng.random() < 0.3:
+        body_chunks.append("<!-- comment with > inside and <tags> too -->")
+    if rng.random() < 0.5:
+        href = rng.choice([
+            "https://example.org/linked",
+            "/relative/p%41th",
+            "https://github.com/repo?a=1&b=2",
+        ])
+        body_chunks.append(
+            f'<a href="{href}">anchor {rng.choice(VOCAB)} text</a>'
+        )
+    if rng.random() < 0.1:
+        body_chunks.append('<a href="/x">outer <a href="/y">nested</a>')
+    if rng.random() < 0.15:
+        body_chunks.append('<embed src="https://cdn.example.org/media.mp4">')
+    if rng.random() < 0.1:
+        body_chunks.append('<base href="https://base.example.org/">')
+
+    rng.shuffle(body_chunks)
+
+    head = []
+    if has_title:
+        head.append(f"<title>{title}</title>")
+    head.append(f'<meta name="description" content="{desc}">')
+    if noindex:
+        head.append('<meta name="robots" content="noindex, nofollow">')
+    if rng.random() < 0.3:
+        head.append('<meta property="og:type" content="article">')
+
+    lang_attr = f' lang="{lang}"' if lang else ""
+    html = (
+        f"<!DOCTYPE html><html{lang_attr}><head>" + "".join(head) + "</head><body>"
+        + "\n".join(body_chunks)
+        + "</body></html>"
+    )
+    return html, lang
+
+
+def generate_pages(
+    n: int, seed: int = 42
+) -> list[dict]:
+    """Rows of the `pages` table: url, warc_ts, html(bytes), text(None), lang."""
+    rng = random.Random(seed)
+    t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    seen: set[str] = set()
+    for i in range(n):
+        url = _make_url(rng, i)
+        while url in seen:
+            url += f"&u={rng.randint(0, 10**6)}"
+        seen.add(url)
+        html, lang = _make_html(rng, i)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": t0 + timedelta(seconds=17 * i),
+                "html": html.encode("utf-8"),
+                "text": None,
+                "lang": lang,
+            }
+        )
+    return rows
+
+
+# The fixture query set (FIXTURES.md §3): covers every grammar production.
+QUERY_SET = [
+    "hello",
+    "search",
+    "search engine",
+    "search AND engine",
+    "search OR quartz",
+    "NOT quartz",
+    "search NOT engine",
+    "(spark OR quartz) engine",
+    '"search engine"',
+    "'open spark'",
+    "title:engine",
+    "url:github",
+    "desc:ranking",
+    "anchor:anchor",
+    "the AND search",
+    "NASA",
+    "BM25 ranking",
+    "engine title:engine \"search engine\"",
+    "spark shuffle partition",
+    "granite OR marble OR basalt",
+    "zzzznonexistent",
+    "the of and",
+    "index NOT (spark OR engine)",
+    "'spark engine'",
+    "crawler parser query ranking",
+]

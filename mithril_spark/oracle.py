@@ -1,0 +1,118 @@
+"""Pure-Python reference oracle: builds in-memory shards and answers queries.
+
+This is the golden implementation the Spark engine is differential-tested
+against (SURVEY.md §5). It shares the byte-level text pipeline
+(``mithril_spark.text``) and the per-shard ISR/ranking core
+(``mithril_spark.query``) with the engine, but performs indexing directly in
+memory with no Spark involved, transcribing the reference build lifecycle
+(/root/reference/index/src/InvertedIndex.cpp:215-307, 604-660).
+
+Deterministic docid policy (shared with the Spark indexer): admitted pages
+are sorted by ``url`` bytes and assigned dense ids 0..N-1; shards are
+contiguous docid ranges of size ceil(N / num_shards). The reference assigns
+ids in crawl order (crawler/src/Worker.cpp:208-215); with a table input the
+url sort is the deterministic, cluster-size-independent equivalent.
+"""
+
+from __future__ import annotations
+
+from .query.isr import DocMeta, ShardIndex
+from .query.shard import answer_query_on_shards, evaluate_query, handle_ranking
+from .text.docproc import DocTerms, process_page
+
+
+def extract_text(url: bytes, html: bytes) -> bytes | None:
+    """Byte-identical extracted text for one page; None if not admitted."""
+    doc = process_page(url, html)
+    return None if doc is None else doc.text
+
+
+def shard_of(doc_id: int, n_docs: int, num_shards: int) -> tuple[int, int]:
+    """(shard, base_doc_id) for a dense docid under contiguous-range sharding."""
+    shard_size = -(-n_docs // num_shards) if n_docs else 1
+    shard = doc_id // shard_size
+    return shard, shard * shard_size
+
+
+class OracleIndex:
+    """In-memory index over a page corpus, optionally split into shards."""
+
+    def __init__(self, shards: list[ShardIndex], docs: list[DocTerms]):
+        self.shards = shards
+        self.docs = docs  # index = global doc_id
+
+    @classmethod
+    def build(
+        cls, pages: list[tuple[bytes, bytes]], num_shards: int = 1
+    ) -> "OracleIndex":
+        admitted: list[DocTerms] = []
+        for url, html in pages:
+            doc = process_page(url, html)
+            if doc is not None:
+                admitted.append(doc)
+        admitted.sort(key=lambda d: d.url)
+
+        n = len(admitted)
+        shard_size = -(-n // num_shards) if n else 1
+        shards: list[ShardIndex] = []
+        for s in range(num_shards):
+            base = s * shard_size
+            count = max(0, min(shard_size, n - base))
+            shards.append(ShardIndex(doc_count=count, base_doc_id=base))
+
+        for doc_id, doc in enumerate(admitted):
+            s = doc_id // shard_size
+            shard = shards[s]
+            local = doc_id - shard.base_doc_id
+            shard.doc_map[local] = DocMeta(
+                doc_id=local,
+                url=doc.url,
+                title=doc.title_words,
+                body_len=doc.body_len,
+                title_len=doc.title_len,
+                url_len=doc.url_len,
+                desc_len=doc.desc_len,
+                pagerank=0.0,
+            )
+            shard.total_body_length += doc.body_len
+            shard.total_title_length += doc.title_len
+            shard.total_url_length += doc.url_len
+            shard.total_desc_length += doc.desc_len
+            for term_b, freq in doc.term_freqs.items():
+                term = term_b.decode("latin-1")
+                entry = shard.postings.get(term)
+                if entry is None:
+                    entry = ([], [])
+                    shard.postings[term] = entry
+                entry[0].append(local)
+                entry[1].append(freq)
+            for term_b, (flags, flat) in doc.term_positions.items():
+                term = term_b.decode("latin-1")
+                pentry = shard.positions.get(term)
+                if pentry is None:
+                    pentry = ([], [], [])
+                    shard.positions[term] = pentry
+                pentry[0].append(local)
+                pentry[1].append(flags)
+                pentry[2].append(flat)
+        return cls(shards, admitted)
+
+    # --- query API (single-shard parity + multi-shard coordinator) ---
+
+    def matches(self, query: str) -> list[int]:
+        """Global ascending docids matched across shards (diagnostic)."""
+        out: list[int] = []
+        for shard in self.shards:
+            out.extend(
+                d + shard.base_doc_id for d in evaluate_query(query, shard)
+            )
+        return out
+
+    def top_k(self, query: str) -> list[tuple[int, int, bytes, list[bytes]]]:
+        """Merged top-50 of (global_doc_id, score, url, title_words)."""
+        return answer_query_on_shards(query, self.shards)
+
+    def shard_top_k(self, query: str, shard_idx: int):
+        shard = self.shards[shard_idx]
+        matches = evaluate_query(query, shard)
+        return handle_ranking(query, shard, matches)

@@ -1,0 +1,247 @@
+"""Per-shard query evaluation + ranking + top-k, faithful to the reference.
+
+Reference semantics: /root/reference/query/src/Query.h (ISR lowering with
+identity propagation), QueryEngine.h:46-73 (drive loop + catch-all ->
+empty), QueryManager.cpp:44-114 (top-k + sorted-list merge), :249-358
+(position pointers + HandleRanking incl. early-exit heuristics),
+ISRFactory.cpp:19-30 (term -> ISR normalization).
+
+This is the sequential per-shard core: the Spark engine executes it inside
+``applyInPandas`` (one group per shard) and the oracle executes it directly.
+The soft-timeout stop flag of the reference is intentionally not modelled
+(it is wall-clock-dependent and therefore non-deterministic); everything
+else — including the 30k/25k/100k short-circuit heuristics — is transcribed.
+"""
+
+from __future__ import annotations
+
+from ..ranking import (
+    contains_porn_keywords,
+    contains_porn_keywords_any,
+    final_score,
+    tokenify_query,
+)
+from ..text.normalize import ALL, ANCHOR, DESC, STOPWORDS, TITLE, URL, normalize
+from . import grammar as g
+from .isr import (
+    ISR,
+    GenericTermISR,
+    IdentityISR,
+    IsrError,
+    NotISR,
+    ShardIndex,
+    TermANDISR,
+    TermORISR,
+    TermPhraseISR,
+    TermQuoteISR,
+    TermReaderISR,
+)
+
+# QueryManager.cpp:15-34
+RESULTS_REQUIRED_TO_SHORTCIRCUIT = 30000
+SCORE_FOR_SHORTCIRCUIT_REQUIRED = 5500
+RESULTS_COLLECTED_AFTER_SHORTCIRCUIT = 100
+MINIMUM_QUOTA_FOR_RESULTS_CHECK = 25000
+REQUIRED_RESULTS_SCORE = 5000
+REQUIRED_RESULTS_QTY = 10
+RESULTS_HARD_CAP = 100000
+TOP_K = 50  # QueryManager.h:62
+
+_FIELD_OF_TOKEN = {
+    g.WORD: ALL,
+    g.TITLE: TITLE,
+    g.URL: URL,
+    g.ANCHOR: ANCHOR,
+    g.DESC: DESC,
+}
+
+
+def create_term_isr(value: str, field: int, shard: ShardIndex) -> ISR:
+    """TermReaderFactory::CreateISR (ISRFactory.cpp:19-30)."""
+    raw = value.encode("utf-8")
+    normalized = normalize(raw, field)
+    if not normalized or raw in STOPWORDS:
+        return IdentityISR()
+    term = normalized.decode("latin-1")
+    if field == ALL:
+        return GenericTermISR(term, shard)
+    return TermReaderISR(term, shard)
+
+
+def generate_isr(node: g.Node, shard: ShardIndex) -> ISR:
+    """Query-tree -> ISR lowering with identity propagation (Query.h)."""
+    if isinstance(node, g.TermNode):
+        return create_term_isr(node.value, _FIELD_OF_TOKEN.get(node.token_type, ALL), shard)
+    if isinstance(node, (g.AndNode, g.OrNode)):
+        left = generate_isr(node.left, shard)
+        right = generate_isr(node.right, shard)
+        if left.is_identity() and right.is_identity():
+            return IdentityISR()
+        if left.is_identity():
+            return right
+        if right.is_identity():
+            return left
+        cls = TermANDISR if isinstance(node, g.AndNode) else TermORISR
+        return cls([left, right])
+    if isinstance(node, g.NotNode):
+        return NotISR(generate_isr(node.expr, shard), shard.doc_count)
+    if isinstance(node, g.QuoteNode):
+        terms = g.extract_quote_terms(node.value)
+        return TermQuoteISR(terms, shard)
+    if isinstance(node, g.PhraseNode):
+        terms = g.extract_quote_terms(node.value)
+        return TermPhraseISR(terms, shard)
+    raise ValueError(f"unknown node {node!r}")
+
+
+def evaluate_query(query: str, shard: ShardIndex) -> list[int]:
+    """QueryEngine::EvaluateQuery — ascending docids; any error -> []."""
+    try:
+        tree = g.parse_query(query)
+        isr = generate_isr(tree, shard)
+        results: list[int] = []
+        while isr.has_next():
+            results.append(isr.current_doc_id())
+            isr.move_next()
+        return results
+    except (g.ParseException, IsrError):
+        return []
+
+
+def top_k_elements_fast(
+    results: list[tuple], k: int = TOP_K
+) -> list[tuple]:
+    """TopKElementsFast: (score desc, doc_id desc) partial sort (QueryManager.cpp:44-65)."""
+    ordered = sorted(results, key=lambda t: (-t[1], -t[0]))
+    return ordered if len(results) <= k else ordered[:k]
+
+
+def top_k_from_sorted_lists(
+    sorted_lists: list[list[tuple]], k: int = TOP_K
+) -> list[tuple]:
+    """K-way head merge across shard lists in shard order (QueryManager.cpp:67-114)."""
+    if len(sorted_lists) == 1:
+        return sorted_lists[0]
+    idx = [0] * len(sorted_lists)
+    out: list[tuple] = []
+    for _ in range(k):
+        best = None
+        best_j = -1
+        for j, lst in enumerate(sorted_lists):
+            if idx[j] >= len(lst):
+                continue
+            el = lst[idx[j]]
+            if best is None or (-el[1], -el[0]) < (-best[1], -best[0]):
+                best = el
+                best_j = j
+        if best is None:
+            break
+        out.append(best)
+        idx[best_j] += 1
+    return out
+
+
+def handle_ranking(
+    query: str, shard: ShardIndex, matches: list[int]
+) -> list[tuple[int, int, bytes, list[bytes]]]:
+    """QueryManager::HandleRanking (QueryManager.cpp:274-358).
+
+    ``matches`` are ascending shard-local docids. Returns the shard's top-50
+    as (doc_id, score, url, title_words) ordered by (score desc, doc desc).
+    """
+    if not matches:
+        return []
+
+    tokens, stopword_idx, nonstopword_idx = tokenify_query(query)
+
+    # GetDocumentFrequencies (Ranker.cpp:46-64): df of the raw token.
+    doc_freqs = {term: shard.doc_freq(term) for term, _ in tokens}
+
+    # SetupPositionIndexPointers (QueryManager.cpp:249-270): pointers exist
+    # only for non-stopword tokens whose (term / %term) is in the position
+    # dictionary of this shard.
+    body_ptr: set[str] = set()
+    desc_ptr: set[str] = set()
+    for term, _ in tokens:
+        if term.encode() in STOPWORDS:
+            continue
+        if term in shard.positions:
+            body_ptr.add(term)
+        desc_term = "%" + term
+        if desc_term in shard.positions:
+            desc_ptr.add(desc_term)
+
+    ranked: list[tuple[int, int, bytes, list[bytes]]] = []
+    short_circuit = len(matches) > RESULTS_REQUIRED_TO_SHORTCIRCUIT
+    results_collected_above_min = 0
+    ranked_documents = 0
+    ranked_documents_above_min = 0
+
+    for match in matches:
+        meta = shard.doc_map.get(match)
+        if meta is None:
+            ranked.append((match, 0, b"", []))
+            continue
+        if contains_porn_keywords_any(meta.title) or contains_porn_keywords(meta.url):
+            continue
+
+        body_positions = {
+            term: (shard.get_positions(term, match) if term in body_ptr else [])
+            for term, _ in tokens
+        }
+        in_description = {
+            term: (("%" + term) in desc_ptr and shard.has_positions("%" + term, match))
+            for term, _ in tokens
+        }
+        url_str = meta.url.decode("latin-1")
+        title_strs = [t.decode("latin-1") for t in meta.title]
+        score = final_score(
+            tokens,
+            stopword_idx,
+            nonstopword_idx,
+            url=url_str,
+            title_words=title_strs,
+            title_size=len(meta.title),
+            body_len=meta.body_len,
+            doc_count=shard.doc_count,
+            avg_body_length=shard.avg_body_length,
+            doc_freqs=doc_freqs,
+            body_positions=body_positions,
+            in_description=in_description,
+            pagerank=meta.pagerank,
+        )
+        ranked.append((match, score, meta.url, meta.title))
+
+        if short_circuit and score >= SCORE_FOR_SHORTCIRCUIT_REQUIRED:
+            results_collected_above_min += 1
+            if results_collected_above_min >= RESULTS_COLLECTED_AFTER_SHORTCIRCUIT:
+                break
+
+        ranked_documents += 1
+        if score >= REQUIRED_RESULTS_SCORE:
+            ranked_documents_above_min += 1
+        if ranked_documents >= MINIMUM_QUOTA_FOR_RESULTS_CHECK:
+            if ranked_documents_above_min < REQUIRED_RESULTS_QTY:
+                break
+        if ranked_documents >= RESULTS_HARD_CAP:
+            break
+
+    return top_k_elements_fast(ranked)
+
+
+def answer_query_on_shards(
+    query: str, shards: list[ShardIndex]
+) -> list[tuple[int, int, bytes, list[bytes]]]:
+    """QueryManager::AnswerQuery + coordinator merge over ordered shards.
+
+    Returns merged top-50 of (global_doc_id, score, url, title_words).
+    """
+    per_shard: list[list[tuple[int, int, bytes, list[bytes]]]] = []
+    for shard in shards:
+        matches = evaluate_query(query, shard)
+        ranked = handle_ranking(query, shard, matches)
+        # globalize doc ids for the cross-shard merge
+        per_shard.append(
+            [(doc + shard.base_doc_id, score, url, title) for doc, score, url, title in ranked]
+        )
+    return top_k_from_sorted_lists(per_shard)

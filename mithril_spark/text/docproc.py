@@ -1,0 +1,143 @@
+"""Per-document indexing pipeline shared by the oracle and the Spark UDFs.
+
+Reference semantics: /root/reference/index/src/InvertedIndex.cpp:183-307
+(``processField`` / ``IndexBuilder::process_document``) and
+/root/reference/crawler/src/Worker.cpp:145-206 (admission + description).
+
+One call = one crawled page: parse HTML, apply the admission filter, then
+produce term frequencies, per-term field flags + flattened positions, and the
+doc-map metadata row. The Spark indexer runs this inside ``mapInArrow``; the
+oracle runs it directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .htmlparse import ParsedDocument, get_words, parse_document
+from .normalize import (
+    BODY,
+    DESC,
+    FIELD_FLAG,
+    TITLE,
+    URL,
+    language_allowed,
+    normalize,
+    robots_noindex,
+    should_store_positions,
+    tokenize_url,
+)
+
+U16_MAX = 0xFFFF
+
+
+@dataclass
+class DocTerms:
+    """Everything the index needs from one admitted document."""
+
+    url: bytes
+    title_words: list[bytes]
+    desc_words: list[bytes]
+    body_words: list[bytes]
+    term_freqs: dict[bytes, int] = field(default_factory=dict)
+    # term -> (field_flags, flat positions in field-index order BODY..DESC)
+    term_positions: dict[bytes, tuple[int, list[int]]] = field(default_factory=dict)
+    body_len: int = 0
+    title_len: int = 0
+    url_len: int = 0
+    desc_len: int = 0
+    total_term_count: int = 0
+
+    @property
+    def text(self) -> bytes:
+        """The extracted-text invariant: space-joined body words."""
+        return b" ".join(self.body_words)
+
+
+def _process_field(
+    words: list[bytes],
+    fld: int,
+    term_freqs: dict[bytes, int],
+    raw_positions: dict[bytes, tuple[list[list[int]], int]],
+) -> int:
+    """processField (InvertedIndex.cpp:183-211); returns kept-token count."""
+    pos = 0
+    tracking = True
+    flag = FIELD_FLAG[fld]
+    kept = 0
+    for word in words:
+        normalized = normalize(word, fld)
+        if normalized:
+            term_freqs[normalized] = term_freqs.get(normalized, 0) + 1
+            kept += 1
+            if tracking:
+                if pos < U16_MAX:
+                    entry = raw_positions.get(normalized)
+                    if entry is None:
+                        entry = ([[], [], [], [], []], 0)
+                    entry[0][fld].append(pos)
+                    raw_positions[normalized] = (entry[0], entry[1] | flag)
+                    pos += 1
+                else:
+                    tracking = False
+    return kept
+
+
+def extract_page(url: bytes, html: bytes) -> tuple[ParsedDocument, bool]:
+    """Parse + admission filter (Worker.cpp:145-175). Returns (parsed, admitted)."""
+    parsed = parse_document(html)
+    if not parsed.title_words or not parsed.words:
+        return parsed, False
+    if not language_allowed(parsed.lang):
+        return parsed, False
+    if robots_noindex(parsed.metas):
+        return parsed, False
+    return parsed, True
+
+
+def description_words(parsed: ParsedDocument) -> list[bytes]:
+    desc = parsed.metas.get(b"description")
+    return get_words(desc) if desc is not None else []
+
+
+def build_doc_terms(url: bytes, parsed: ParsedDocument) -> DocTerms:
+    """process_document (InvertedIndex.cpp:215-307) for one admitted page."""
+    doc = DocTerms(
+        url=url,
+        title_words=parsed.title_words,
+        desc_words=description_words(parsed),
+        body_words=parsed.words,
+    )
+    raw_positions: dict[bytes, tuple[list[list[int]], int]] = {}
+    total = 0
+    url_tokens = tokenize_url(url)
+    total += _process_field(url_tokens, URL, doc.term_freqs, raw_positions)
+    total += _process_field(doc.title_words, TITLE, doc.term_freqs, raw_positions)
+    total += _process_field(doc.desc_words, DESC, doc.term_freqs, raw_positions)
+    total += _process_field(doc.body_words, BODY, doc.term_freqs, raw_positions)
+    doc.total_term_count = total
+
+    doc.body_len = len(doc.body_words)
+    doc.title_len = len(doc.title_words)
+    doc.url_len = len(url_tokens)
+    doc.desc_len = len(doc.desc_words)
+
+    # Flatten positions in field-index order and keep only selected terms
+    # (InvertedIndex.cpp:263-286 + PositionIndex.cpp:81-99).
+    for term, (per_field, flags) in raw_positions.items():
+        freq = doc.term_freqs[term]
+        if should_store_positions(term, freq, doc.total_term_count):
+            flat: list[int] = []
+            for fld_idx in range(5):
+                flat.extend(per_field[fld_idx])
+            if flat:
+                doc.term_positions[term] = (flags, flat)
+    return doc
+
+
+def process_page(url: bytes, html: bytes) -> DocTerms | None:
+    """Full per-page pipeline; None when the page fails admission."""
+    parsed, admitted = extract_page(url, html)
+    if not admitted:
+        return None
+    return build_doc_terms(url, parsed)
