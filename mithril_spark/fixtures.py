@@ -211,3 +211,16 @@ QUERY_SET = [
     "'spark engine'",
     "crawler parser query ranking",
 ]
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def pages_to_df(spark, rows: list[dict]):
+    """Materialize generated pages as the canonical `pages` DataFrame."""
+    data = [
+        (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows
+    ]
+    return spark.createDataFrame(data, schema=PAGES_SCHEMA)

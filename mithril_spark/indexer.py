@@ -1,0 +1,321 @@
+"""Spark index build: pages table -> postings / positions / term_dict /
+doc_map / index_stats parquet tables (+ build metrics, checkpoint-resume).
+
+Spark-first rebuild of the reference lifecycle
+(/root/reference/index/src/main.cpp + InvertedIndex.cpp:215-932): every
+thread/mutex boundary of the C++ builder becomes a shuffle; the 32-way
+tiered block merge is subsumed by the shuffle sort of
+``groupBy(term).applyInPandas``; varbyte blocks + per-block metadata replace
+sync points (codec.py).
+
+Scale design (100 TB / 1000 executors):
+* Per-doc work (HTML parse -> term stats) happens once, in one
+  ``mapInPandas`` pass, and is checkpointed to a ``stage_docs`` table so the
+  expensive parse is never recomputed (and the build resumes from it).
+* Deterministic dense docids: global sort by url, per-partition counts
+  collected once, offsets broadcast — no single-partition window, no
+  driver-side data.
+* Head-term skew: postings are grouped by ``(term, shard, salt)`` where
+  ``salt = local_doc_id // 32768`` bounds any group to 32k postings, so a
+  stop-word-scale term cannot OOM or straggle one task (the two-phase
+  partial-block layout mirrors the reference's block files, merged for free
+  because salt ranges are disjoint doc ranges).
+* Query-side pruning: all term tables are written ``partitionBy(bucket)``
+  with ``bucket = crc32(term) % num_buckets`` so a query's handful of terms
+  scans only matching directories (+ parquet min/max on ``term``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import BLOCK_SIZE, encode_posting_blocks, encode_position_block
+
+SALT_RANGE = BLOCK_SIZE * 256  # 32768 local docids per salted group
+DEFAULT_NUM_BUCKETS = 16
+
+EXTRACT_SCHEMA = (
+    "url binary, title array<binary>, text binary, "
+    "body_len int, title_len int, url_len int, desc_len int, "
+    "terms array<struct<term:string,freq:int,flags:int,positions:array<int>>>"
+)
+DOCS_SCHEMA = (
+    "url binary, title array<binary>, text binary, "
+    "body_len int, title_len int, url_len int, desc_len int, "
+    "terms array<struct<term:string,freq:int,flags:int,positions:array<int>>>, "
+    "doc_id long, shard int, local_id long"
+)
+POSTING_BLOCK_SCHEMA = (
+    "term string, shard int, salt int, block_id int, doc_count int, "
+    "first_doc_id long, last_doc_id long, max_freq int, freq_sum long, "
+    "doc_ids_enc binary, freqs_enc binary"
+)
+POSITION_BLOCK_SCHEMA = (
+    "term string, shard int, salt int, doc_count int, "
+    "first_doc_id long, last_doc_id long, doc_ids_enc binary, "
+    "flags_enc binary, pos_counts_enc binary, positions_enc binary"
+)
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    return zlib.crc32(term.encode("latin-1")) % num_buckets
+
+
+def _extract_partition(batches):
+    """mapInPandas worker: HTML -> admitted doc rows with per-doc term stats."""
+    from .text.docproc import process_page
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "url", "title", "text", "body_len", "title_len", "url_len",
+            "desc_len", "terms",
+        )}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            if html is None:
+                continue
+            url_b = url.encode("utf-8") if isinstance(url, str) else bytes(url)
+            doc = process_page(url_b, bytes(html))
+            if doc is None:
+                continue
+            terms = []
+            for term_b, freq in doc.term_freqs.items():
+                flags_flat = doc.term_positions.get(term_b)
+                terms.append({
+                    "term": term_b.decode("latin-1"),
+                    "freq": freq,
+                    "flags": flags_flat[0] if flags_flat else 0,
+                    "positions": flags_flat[1] if flags_flat else [],
+                })
+            out["url"].append(url_b)
+            out["title"].append(doc.title_words)
+            out["text"].append(doc.text)
+            out["body_len"].append(doc.body_len)
+            out["title_len"].append(doc.title_len)
+            out["url_len"].append(doc.url_len)
+            out["desc_len"].append(doc.desc_len)
+            out["terms"].append(terms)
+        yield pd.DataFrame(out)
+
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> admitted docs with term stats (one parse pass)."""
+    return pages.select("url", "html").mapInPandas(
+        _extract_partition, schema=EXTRACT_SCHEMA
+    )
+
+
+def _write_once(df: DataFrame, path: str, *, partition_by=None, force=False) -> bool:
+    """Idempotent phase commit: skip when _SUCCESS already present (resume)."""
+    if not force and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return True
+
+
+def build_index(
+    pages: DataFrame,
+    out_dir: str,
+    num_shards: int = 1,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    sort_partitions: int | None = None,
+    force: bool = False,
+) -> dict:
+    """Full index build; returns the build metrics dict (also persisted).
+
+    Resume: each phase commits to its own directory with a parquet
+    ``_SUCCESS`` marker; re-running skips completed phases.
+    """
+    spark = pages.sparkSession
+    metrics: list[dict] = []
+    t_start = time.time()
+
+    def phase(name):
+        metrics.append({"phase": name, "started": time.time() - t_start})
+        return metrics[-1]
+
+    # --- Phase 1: extraction (the expensive parse), checkpointed ---
+    stage_path = os.path.join(out_dir, "stage_docs")
+    m = phase("extract")
+    if sort_partitions is None:
+        sort_partitions = max(spark.sparkContext.defaultParallelism, 4)
+    extracted = (
+        extract_docs(pages)
+        .repartitionByRange(sort_partitions, "url")
+        .sortWithinPartitions("url")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    m["ran"] = _write_once(extracted, stage_path, force=force)
+    m["finished"] = time.time() - t_start
+
+    stage = spark.read.parquet(stage_path)
+
+    # --- Phase 2: deterministic dense docids (offsets broadcast, no global window) ---
+    m = phase("assign_ids")
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in stage.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total_docs = sum(counts.values())
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    shard_size = -(-total_docs // num_shards) if total_docs else 1
+
+    def _assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
+        base = offsets[int(pdf["pid"].iloc[0])] if len(pdf) else 0
+        doc_id = base + np.arange(len(pdf), dtype=np.int64)
+        pdf = pdf.drop(columns=["pid"])
+        pdf["doc_id"] = doc_id
+        pdf["shard"] = (doc_id // shard_size).astype(np.int32)
+        pdf["local_id"] = doc_id - pdf["shard"].to_numpy().astype(np.int64) * shard_size
+        return pdf
+
+    docs = stage.groupBy("pid").applyInPandas(_assign, schema=DOCS_SCHEMA)
+    docs_path = os.path.join(out_dir, "docs")
+    m["ran"] = _write_once(docs, docs_path, force=force)
+    m["total_docs"] = total_docs
+    m["finished"] = time.time() - t_start
+    docs = spark.read.parquet(docs_path)
+
+    # --- Phase 3: doc_map + index_stats ---
+    m = phase("doc_map")
+    doc_map = docs.select(
+        "shard", "doc_id", "local_id", "url", "title",
+        "body_len", "title_len", "url_len", "desc_len",
+        F.lit(0.0).cast("float").alias("pagerank"),
+    )
+    m["ran"] = _write_once(doc_map, os.path.join(out_dir, "doc_map"),
+                           partition_by=["shard"], force=force)
+    stats = docs.groupBy("shard").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("body_len").alias("total_body"),
+        F.sum("title_len").alias("total_title"),
+        F.sum("url_len").alias("total_url"),
+        F.sum("desc_len").alias("total_desc"),
+    )
+    m["ran_stats"] = _write_once(stats, os.path.join(out_dir, "index_stats"), force=force)
+    m["finished"] = time.time() - t_start
+
+    # --- Phase 4: postings + positions blocks (salted against head-term skew) ---
+    m = phase("postings")
+    exploded = (
+        docs.select("shard", "local_id", F.explode("terms").alias("t"))
+        .select(
+            F.col("t.term").alias("term"),
+            "shard",
+            (F.col("local_id") / SALT_RANGE).cast("int").alias("salt"),
+            F.col("local_id").alias("doc_id"),
+            F.col("t.freq").alias("freq"),
+            F.col("t.flags").alias("flags"),
+            F.col("t.positions").alias("positions"),
+        )
+    )
+
+    def _posting_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        salt = int(pdf["salt"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        freqs = pdf["freq"].to_numpy(dtype=np.int64)
+        rows = []
+        for blk in encode_posting_blocks(doc_ids, freqs):
+            blk.update(term=term, shard=shard, salt=salt)
+            rows.append(blk)
+        return pd.DataFrame(rows)
+
+    posting_blocks = (
+        exploded.groupBy("term", "shard", "salt")
+        .applyInPandas(_posting_blocks, schema=POSTING_BLOCK_SCHEMA)
+        .withColumn(
+            "bucket",
+            F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
+        )
+    )
+    m["ran"] = _write_once(
+        posting_blocks.repartition("bucket"),
+        os.path.join(out_dir, "postings"),
+        partition_by=["bucket"],
+        force=force,
+    )
+    m["finished"] = time.time() - t_start
+
+    m = phase("positions")
+
+    def _position_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        salt = int(pdf["salt"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        flags = pdf["flags"].to_numpy(dtype=np.int64)
+        positions = [np.asarray(p, dtype=np.uint32) for p in pdf["positions"]]
+        blk = encode_position_block(doc_ids, flags, positions)
+        blk.update(term=term, shard=shard, salt=salt)
+        return pd.DataFrame([blk])
+
+    position_blocks = (
+        exploded.filter(F.size("positions") > 0)
+        .groupBy("term", "shard", "salt")
+        .applyInPandas(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
+        .withColumn(
+            "bucket",
+            F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
+        )
+    )
+    m["ran"] = _write_once(
+        position_blocks.repartition("bucket"),
+        os.path.join(out_dir, "positions"),
+        partition_by=["bucket"],
+        force=force,
+    )
+    m["finished"] = time.time() - t_start
+
+    # --- Phase 5: term dictionary (df / cf per shard) ---
+    m = phase("term_dict")
+    term_dict = (
+        spark.read.parquet(os.path.join(out_dir, "postings"))
+        .groupBy("term", "shard", "bucket")
+        .agg(
+            F.sum("doc_count").alias("df"),
+            F.sum("freq_sum").alias("cf"),
+        )
+    )
+    m["ran"] = _write_once(
+        term_dict, os.path.join(out_dir, "term_dict"),
+        partition_by=["bucket"], force=force,
+    )
+    m["finished"] = time.time() - t_start
+
+    # --- metadata + metrics ---
+    meta = {
+        "total_docs": total_docs,
+        "num_shards": num_shards,
+        "shard_size": shard_size,
+        "num_buckets": num_buckets,
+        "block_size": BLOCK_SIZE,
+        "salt_range": SALT_RANGE,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    result = {"meta": meta, "phases": metrics, "wall_s": time.time() - t_start}
+    metrics_df = spark.createDataFrame(
+        [(mm["phase"], float(mm["started"]), float(mm.get("finished", 0.0)),
+          bool(mm.get("ran", False))) for mm in metrics],
+        "phase string, started double, finished double, ran boolean",
+    )
+    _write_once(metrics_df, os.path.join(out_dir, "build_metrics"), force=True)
+    return result

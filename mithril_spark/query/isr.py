@@ -75,6 +75,10 @@ class ShardIndex:
     total_title_length: int = 0
     total_url_length: int = 0
     total_desc_length: int = 0
+    # df for ranking tokens whose posting lists were not materialized
+    # (the Spark engine loads them from term_dict instead; the oracle's
+    # postings are complete so this stays empty there).
+    extra_doc_freqs: dict[str, int] = field(default_factory=dict)
 
     @property
     def avg_body_length(self) -> float:
@@ -84,7 +88,9 @@ class ShardIndex:
 
     def doc_freq(self, term: str) -> int:
         entry = self.postings.get(term)
-        return len(entry[0]) if entry else 0
+        if entry is not None:
+            return len(entry[0])
+        return self.extra_doc_freqs.get(term, 0)
 
     def has_positions(self, term: str, doc_id: int) -> bool:
         entry = self.positions.get(term)

@@ -483,6 +483,9 @@ def final_score(
         math.sqrt(ordered_match_score(tokens, title_words))
     )
 
+    # 0/0 -> NaN is intended here (C++ float semantics; NaN final scores
+    # truncate to 0 in get_url_dynamic_rank) — don't warn about it.
+    _err = np.seterr(invalid="ignore", divide="ignore")
     features = {
         "query_in_url": 1.0 if is_in_url else 0.0,
         "query_in_title": 1.0 if is_in_title else 0.0,
@@ -501,4 +504,5 @@ def final_score(
         "static_rank": F32(static_rank(url)),
         "pagerank": F32(pagerank),
     }
+    np.seterr(**_err)
     return get_url_dynamic_rank(features)

@@ -1,0 +1,109 @@
+"""Spark integration: index build + rank-identity vs the oracle.
+
+This is the north_rule gate: byte-identical extracted text per url and
+rank-identical top-k docIDs + scores on the fixture query set, at one and
+at multiple shards.
+"""
+
+import shutil
+
+import pytest
+
+from mithril_spark.fixtures import QUERY_SET, generate_pages, pages_to_df
+from mithril_spark.oracle import OracleIndex, extract_text
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(150, seed=42)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, corpus):
+    return pages_to_df(spark, corpus)
+
+
+def _build(spark, pages_df, tmp, num_shards, **kw):
+    from mithril_spark.indexer import build_index
+
+    path = str(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    build_index(pages_df, path, num_shards=num_shards, **kw)
+    return path
+
+
+@pytest.fixture(scope="module")
+def index_1(spark, pages_df, tmp_path_factory):
+    return _build(spark, pages_df, tmp_path_factory.mktemp("idx1") / "i", 1)
+
+
+@pytest.fixture(scope="module")
+def index_3(spark, pages_df, tmp_path_factory):
+    return _build(spark, pages_df, tmp_path_factory.mktemp("idx3") / "i", 3)
+
+
+@pytest.fixture(scope="module")
+def oracle_pages(corpus):
+    return [(r["url"].encode(), r["html"]) for r in corpus]
+
+
+def test_text_byte_identity(spark, pages_df, corpus, index_1):
+    """Engine-extracted text equals the oracle's, byte for byte, per url."""
+    docs = spark.read.parquet(index_1 + "/docs").select("url", "text").collect()
+    got = {bytes(r["url"]): bytes(r["text"]) for r in docs}
+    expected = {}
+    for r in corpus:
+        t = extract_text(r["url"].encode(), r["html"])
+        if t is not None:
+            expected[r["url"].encode()] = t
+    assert got == expected
+
+
+def test_admission_counts(spark, index_1, oracle_pages):
+    oracle = OracleIndex.build(oracle_pages)
+    n = spark.read.parquet(index_1 + "/doc_map").count()
+    assert n == len(oracle.docs)
+
+
+def test_docid_determinism_across_partitioning(spark, pages_df, tmp_path_factory):
+    """Dense docid = global url rank: independent of sort parallelism."""
+    a = _build(spark, pages_df, tmp_path_factory.mktemp("da") / "i", 2,
+               sort_partitions=2)
+    b = _build(spark, pages_df, tmp_path_factory.mktemp("db") / "i", 2,
+               sort_partitions=7)
+    rows_a = {
+        (bytes(r["url"]), r["doc_id"])
+        for r in spark.read.parquet(a + "/doc_map").select("url", "doc_id").collect()
+    }
+    rows_b = {
+        (bytes(r["url"]), r["doc_id"])
+        for r in spark.read.parquet(b + "/doc_map").select("url", "doc_id").collect()
+    }
+    assert rows_a == rows_b
+
+
+@pytest.mark.parametrize("shards", [1, 3])
+def test_rank_identity(spark, request, oracle_pages, shards):
+    """Engine top-k == oracle top-k (docids AND scores) for every query."""
+    from mithril_spark.engine import SearchEngine
+
+    index = request.getfixturevalue(f"index_{shards}")
+    engine = SearchEngine(spark, index)
+    oracle = OracleIndex.build(oracle_pages, num_shards=shards)
+    for q in QUERY_SET:
+        assert engine.top_k(q) == oracle.top_k(q), f"query {q!r} diverged"
+
+
+def test_resume_skips_completed_phases(spark, pages_df, index_1):
+    """Re-running build on an existing dir skips every phase (checkpoint/resume)."""
+    from mithril_spark.indexer import build_index
+
+    res = build_index(pages_df, index_1, num_shards=1)
+    ran = {m["phase"]: m.get("ran") for m in res["phases"]}
+    assert not any(ran.values()), ran
+
+
+def test_metrics_table_written(spark, index_1):
+    m = spark.read.parquet(index_1 + "/build_metrics")
+    assert {"phase", "started", "finished", "ran"} <= set(m.columns)
+    assert m.count() >= 5
