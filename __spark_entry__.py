@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship path: build the mithril-style inverted index
+over a deterministic synthetic web-page corpus and answer a BM25 top-k
+query with the Spark engine (rank-identical to the pure-Python oracle —
+see tests/test_spark_engine.py). ``queries``/``oracle_sql`` expose the
+relational / dedup / text-analysis / ANN operator library over the driver
+testdata with DuckDB-checkable SQL oracles (mithril_spark/relational.py).
 """
 
 from __future__ import annotations
@@ -15,24 +16,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index a synthetic pages corpus, run a BM25 top-k query."""
+    import os
+
+    from mithril_spark.engine import SearchEngine
+    from mithril_spark.fixtures import generate_pages, pages_to_df
+    from mithril_spark.indexer import build_index
+
+    index_dir = "/tmp/mithril_entry_index"
+    if not os.path.exists(os.path.join(index_dir, "index_meta.json")):
+        pages = pages_to_df(spark, generate_pages(120, seed=42))
+        build_index(pages, index_dir, num_shards=2)
+    engine = SearchEngine(spark, index_dir)
+    results = engine.top_k("search engine")
+    return spark.createDataFrame(
+        [
+            (int(doc_id), int(score), url.decode("utf-8", "replace"),
+             b" ".join(title).decode("utf-8", "replace"))
+            for doc_id, score, url, title in results
+        ],
+        schema="doc_id long, score long, url string, title string",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family (SURVEY.md §2 + pipeline ops)."""
+    from mithril_spark.relational import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every entry in ``queries()``."""
+    from mithril_spark.relational import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items()}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + index-build throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-step sec...}, "sf": <sf>, ...extras}
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_PAGES         synthetic pages for the index-build step (default 20000)
+
+The index-build step is the BASELINE.md headline (reference: ~2,500 docs/s
+on a single all-core VM, CHANGELOG.md:122); run scripts/scaling.py for the
+N-vs-4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mithril_spark.engine import SearchEngine
+    from mithril_spark.fixtures import generate_pages, pages_to_df
+    from mithril_spark.indexer import build_index
+    from mithril_spark.relational import QUERIES
+    from mithril_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="mithril-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": cpus, "bench_pages": n_pages}
+
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q_events_sessionize", "q_doc_term_df",
+        "q_dedup_minhash_lsh", "q_dedup_simhash", "q_ann_cosine_topk",
+    ]
+    # warm the JVM/readers once so query timings measure the plan, not startup
+    QUERIES["q6_forecast_revenue"][0](spark, sf_dir).collect()
+
+    for name in headline:
+        fn = QUERIES[name][0]
+        t0 = time.time()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        extras[f"{name}_rows"] = len(rows)
+
+    # --- index build throughput (the BASELINE.md headline metric) ---
+    pages = generate_pages(n_pages, seed=42)
+    html_bytes = sum(len(p["html"]) for p in pages)
+    pages_df = pages_to_df(spark, pages).repartition(cpus * 2).cache()
+    pages_df.count()  # materialize input before the clock starts
+    index_dir = "/tmp/mithril_bench_index"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(pages_df, index_dir, num_shards=4, force=True)
+    build_s = time.time() - t0
+    timings["index_build"] = round(build_s, 3)
+    extras["index_docs_per_sec"] = round(n_pages / build_s, 1)
+    extras["index_mb_per_sec"] = round(html_bytes / 1e6 / build_s, 2)
+
+    # --- query latency over the built index ---
+    engine = SearchEngine(spark, index_dir)
+    search_queries = ["search engine", "title:engine", "spark shuffle partition",
+                      "granite OR marble", "NOT quartz"]
+    engine.top_k(search_queries[0])  # warm doc_map cache
+    t0 = time.time()
+    for q in search_queries:
+        engine.top_k(q)
+    timings["search_topk"] = round(time.time() - t0, 3)
+    extras["search_qps"] = round(len(search_queries) / timings["search_topk"], 2)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "mithril_spark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

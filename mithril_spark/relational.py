@@ -1,0 +1,863 @@
+"""Relational / training-data-pipeline query library over the driver testdata.
+
+Each entry pairs a Spark DataFrame plan with an equivalent DuckDB oracle SQL
+string (the driver's correctness gate). Design rules that keep the two
+engines value-hash-identical:
+
+* money aggregates go through DECIMAL(18,2) so sums are exact and
+  order-independent, then ROUND(.,2)::DOUBLE at the end;
+* float embeddings are quantized to int64 (round(x*1000)) before dot
+  products — integer sums are order-independent, unlike double sums;
+* every LIMIT has a total deterministic sort key;
+* all hashing between engines uses md5 hex (identical in Spark and DuckDB).
+
+Plans are written for 100 TB shapes: aggregations are partial+final by
+construction, small dimensions are broadcast, self-joins for near-dup
+detection are pre-filtered by shared-shingle blocking rather than a cross
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational core
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(DEC)
+                    * (F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4))
+                ), 2,
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(DEC)
+                    * (F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4))
+                ), 2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark, sf):
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(DEC)
+                    * (F.lit(1).cast(DEC4) - F.col("l_discount").cast(DEC4))
+                ), 2,
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC4)
+                ), 2,
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_top_customers(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    top = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2).cast("double").alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    return (
+        top.join(F.broadcast(c), top.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"), "c_name", "total_spent", "n_orders"
+        )
+        .orderBy(F.desc("total_spent"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+Q_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey AS custkey, c_name,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spent,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, custkey ASC
+LIMIT 20
+"""
+
+
+def q_priority_counts(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+GROUP BY o_orderpriority
+"""
+
+
+def q_window_segment_top3(spark, sf):
+    from pyspark.sql import Window
+
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+Q_WINDOW_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+"""
+
+# --------------------------------------------------------------------------
+# Event stream analytics (batch shape of the streaming operators)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_events_sessionize(spark, sf):
+    """30-minute-gap sessionization per user (batch form of the stateful op)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = e.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long"), 1, 0).over(w)
+            > 1800
+        ).cast("int"),
+    )
+    sess = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+Q_EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts), 1, 0)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+# --------------------------------------------------------------------------
+# Text analysis / search parity over `documents`
+# --------------------------------------------------------------------------
+
+EN_STOP = (
+    "the a an and or of to in is are was be for with on as at by it this that",
+)
+_EN_STOP_LIST = EN_STOP[0].split()
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in _EN_STOP_LIST)
+
+
+def _tokens(col):
+    return F.split(F.lower(col), " ")
+
+
+def q_doc_term_df(spark, sf):
+    """Document frequency of the 50 most frequent terms (the term_dict op)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+Q_DOC_TERM_DF_SQL = """
+SELECT term, COUNT(*) AS df FROM (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+) WHERE term <> ''
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
+"""
+
+
+def q_doc_search_tf(spark, sf):
+    """Multi-term search scored by total term frequency (integer-exact)."""
+    d = _t(spark, sf, "documents")
+    terms = ["spark", "query", "join"]
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(terms))
+    return (
+        tok.groupBy("doc_id")
+        .agg(F.count("*").alias("score"),
+             F.countDistinct("term").alias("terms_matched"))
+        .filter(F.col("terms_matched") == len(terms))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+Q_DOC_SEARCH_TF_SQL = """
+SELECT doc_id, COUNT(*) AS score, COUNT(DISTINCT term) AS terms_matched FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+) WHERE term IN ('spark', 'query', 'join')
+GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_token_stats(spark, sf):
+    """Token counting per source (the token-count pipeline op)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            "source",
+            F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+Q_TOKEN_STATS_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+       MAX(len(string_split(lower(text), ' '))) AS max_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_text_quality(spark, sf):
+    """Quality scoring: length + stopword-ratio filters (integer-ratio exact)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(_tokens(F.col("text"))).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("term").isin(_EN_STOP_LIST).cast("int")).alias("n_stop"),
+    )
+    return (
+        per_doc.withColumn(
+            "stop_ratio_pct",
+            F.floor(F.col("n_stop") * 100 / F.col("n_tokens")),
+        )
+        .filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio_pct") <= 60))
+        .select("doc_id", "lang", "n_tokens", "n_stop", "stop_ratio_pct")
+    )
+
+
+Q_TEXT_QUALITY_SQL = f"""
+SELECT doc_id, lang, n_tokens, n_stop,
+       CAST(FLOOR((n_stop * 100) / n_tokens) AS BIGINT) AS stop_ratio_pct
+FROM (
+  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN term IN ({_EN_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, lang
+)
+WHERE n_tokens >= 20 AND (n_stop * 100) / n_tokens <= 60
+"""
+
+
+def q_lang_id(spark, sf):
+    """Heuristic language ID by stopword hits; compare against labeled lang."""
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("t"))
+    scored = toks.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("t").isin(_EN_STOP_LIST).cast("int")).alias("en_hits"),
+        F.count("*").alias("n"),
+    )
+    return scored.select(
+        "doc_id", "lang",
+        F.when(F.col("en_hits") * 10 >= F.col("n"), F.lit("en"))
+        .otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+Q_LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN en_hits * 10 >= n THEN 'en' ELSE 'other' END AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+         CAST(SUM(CASE WHEN t IN ({_EN_STOP_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+         COUNT(*) AS n
+  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+  GROUP BY doc_id, lang
+)
+"""
+
+# --------------------------------------------------------------------------
+# Deduplication suite over `documents`
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: md5 grouping; emits (text_hash, dup_count) for dup groups."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("dup_count"), )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def _shingles(spark, sf, k=3):
+    """Distinct word k-gram shingles per doc (md5'd), as a reusable block."""
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", i + 1, k))
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    return sh
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[i+1:i+3], ' ')) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(0, len(toks) - 2)) AS i)
+"""
+
+
+def q_dedup_jaccard(spark, sf):
+    """Word-3-gram Jaccard near-dup pairs (blocked self-join, >= 0.8)."""
+    sh = _shingles(spark, sf).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * 10 >= F.col("uni") * 8)  # jaccard >= 0.8
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+
+
+Q_DEDUP_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS uni
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 10 >= (sa.sz + sb.sz - inter) * 8
+"""
+
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 rows per band
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash(16) + LSH(4 bands x 4 rows) candidate pairs, Jaccard-verified >= 0.5.
+
+    All hashing is md5-based so Spark and the SQL oracle agree bit-for-bit.
+    At scale the band join is the standard shingle->minhash->band->bucket-join
+    pipeline; candidates per band bucket only.
+    """
+    sh = _shingles(spark, sf).cache()
+    # minhash i = min over shingles of md5(i || ':' || shingle)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+                lambda i: F.struct(
+                    i.alias("h"),
+                    F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))).alias("v"),
+                ),
+            )
+        ).alias("hv"),
+    ).select("doc_id", F.col("hv.h").alias("h"), F.col("hv.v").alias("v"))
+    sig = hashed.groupBy("doc_id", "h").agg(F.min("v").alias("mh"))
+    band = sig.withColumn("band", (F.col("h") / LSH_BANDS).cast("int"))
+    band_sig = (
+        band.groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat(F.col("h").cast("string"), F.lit("="), F.col("mh"))
+        )))).alias("band_hash"))
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with true jaccard >= 0.5
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ash = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    bsh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ash, "doc_a").join(bsh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * 2 >= F.col("uni"))
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+
+
+Q_DEDUP_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id, i AS h, md5(CAST(i AS VARCHAR) || ':' || shingle) AS v
+  FROM sh, LATERAL (SELECT unnest(range(0, {N_MINHASH})) AS i)
+),
+sig AS (SELECT doc_id, h, MIN(v) AS mh FROM hashed GROUP BY doc_id, h),
+band_sig AS (
+  SELECT doc_id, CAST(h / {LSH_BANDS} AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || '=' || mh)), ',')) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(h / {LSH_BANDS} AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_sig a JOIN band_sig b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter, (sa.sz + sb.sz - i.inter) AS uni
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * 2 >= (sa.sz + sb.sz - i.inter)
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    """60-bit SimHash near-dup pairs (hamming distance <= 8).
+
+    Token hash = top 15 hex chars of md5 (60 bits, fits int64 exactly in
+    both engines); per-bit majority vote; pairwise bit_count(xor).
+    """
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    )
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+        "h",
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+    sim = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    a = sim.alias("a")
+    b = sim.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= 8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+Q_DEDUP_SIMHASH_SQL = """
+WITH hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, LATERAL (SELECT unnest(range(0, 60)) AS b)
+  GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+# --------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# --------------------------------------------------------------------------
+
+def _quantized(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id", "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("q"),
+    )
+
+
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force top-10 nearest to vec_id 0 by quantized dot product.
+
+    Quantization (round(x*1000) -> int64) makes the reduction exact and
+    order-independent — the same result on any partitioning, unlike a
+    double-precision sum.
+    """
+    q = _quantized(spark, sf)
+    target = q.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("tq")
+    )
+    return (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(target))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("tq"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .select("vec_id", "label", "dot")
+        .limit(10)
+    )
+
+
+Q_ANN_COSINE_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+target AS (SELECT qv AS tq FROM q WHERE vec_id = 0)
+SELECT vec_id, label,
+       CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i] * tq[i])) AS BIGINT) AS dot
+FROM q, target
+WHERE vec_id <> 0
+ORDER BY dot DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_ann_ivf(spark, sf):
+    """IVF-style ANN: 8 centroid vectors (vec_id 0..7), assign every vector
+    to its best centroid, then report cluster sizes + per-cluster best match.
+    This is the scale path: the assignment join is broadcast (centroids are
+    tiny) and search probes only one cluster."""
+    q = _quantized(spark, sf)
+    cents = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+    )
+    assigned = (
+        q.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("cq"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cent_id"))
+    best = assigned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("cent_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max("dot").alias("best_dot"),
+        )
+    )
+
+
+Q_ANN_IVF_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, qv AS cq FROM q WHERE vec_id < 8),
+assigned AS (
+  SELECT q.vec_id, c.cent_id,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                       i -> qv[i] * cq[i])) AS BIGINT) AS dot
+  FROM q, cents c WHERE q.vec_id >= 8
+),
+best AS (
+  SELECT vec_id, cent_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cent_id ASC) AS rn
+  FROM assigned
+)
+SELECT cent_id, COUNT(*) AS cluster_size, CAST(MAX(dot) AS BIGINT) AS best_dot
+FROM best WHERE rn = 1 GROUP BY cent_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q_top_customers": (q_top_customers, Q_TOP_CUSTOMERS_SQL),
+    "q_priority_counts": (q_priority_counts, Q_PRIORITY_SQL),
+    "q_window_segment_top3": (q_window_segment_top3, Q_WINDOW_SQL),
+    "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "q_events_sessionize": (q_events_sessionize, Q_EVENTS_SESSIONIZE_SQL),
+    "q_doc_term_df": (q_doc_term_df, Q_DOC_TERM_DF_SQL),
+    "q_doc_search_tf": (q_doc_search_tf, Q_DOC_SEARCH_TF_SQL),
+    "q_token_stats": (q_token_stats, Q_TOKEN_STATS_SQL),
+    "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
+    "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "q_dedup_exact": (q_dedup_exact, Q_DEDUP_EXACT_SQL),
+    "q_dedup_jaccard": (q_dedup_jaccard, Q_DEDUP_JACCARD_SQL),
+    "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
+    "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
+    "q_ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
+    "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
+}
