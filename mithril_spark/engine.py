@@ -3,29 +3,35 @@
 Spark-first mapping of the reference query path
 (/root/reference/query/src/QueryManager.cpp + QueryCoordinator.cpp):
 partitions are shards; the per-shard single-threaded ISR walk + ranking run
-inside ``applyInPandas`` using the exact same core as the oracle
+inside ``mapInPandas`` using the exact same core as the oracle
 (query/shard.py), and the cross-shard merge is the driver-side
 sorted-lists merge (the reference coordinator's k-way head merge — which is
-also precisely what Spark's TakeOrderedAndProject would compute).
+also precisely what Spark's TakeOrderedAndProject computes).
 
-Plan shape per query (designed so 100 TB of postings never move):
-1. driver: parse query -> the handful of needed terms (ISR terms, raw
+Plan shape per query (designed so the bulk of the index never moves):
+1. driver: parse the query -> the handful of needed terms (ISR terms, raw
    quote/phrase terms, ranking tokens + their %desc variants);
 2. pruned scans: postings/positions filtered by ``bucket`` partition and
    ``term`` predicate (partition pruning + parquet min/max skipping — the
-   Spark analog of the reference's dictionary seek, TermDictionary.cpp);
-3. df lookups for ranking tokens from term_dict collected to the driver
-   (tiny) and closed over — the analog of the mmap'd dictionary probe;
-4. one shuffle groups the query's blocks by shard, cogrouped with the
-   cached doc_map (the reference keeps the doc map RAM-resident per shard;
-   ``doc_map.cache()`` is the executor-memory analog);
-5. per-shard top-50s (few rows) come back to the driver for the merge.
+   Spark analog of the reference's dictionary seek) are *collected to the
+   driver* — a few posting blocks per query term — and shipped to executors
+   in the task closure (a broadcast of query-term slices, SURVEY.md §1.4);
+3. the doc map is packed once into per-shard binary images cached in the
+   block manager (the analog of the reference's mmap+mlock'd per-shard doc
+   map, DocumentMapReader.cpp:15-100); each query is then ONE shuffle-free
+   job over those cached rows;
+4. per-shard top-50s (a few rows) come back for the coordinator merge.
+
+Head-term caveat: a stop-word-scale term's blocks would be large to collect;
+``max_payload_rows`` guards it — beyond the cap the engine falls back to the
+cogroup path where blocks flow executor-to-executor (never via the driver).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import pickle
 
 import pandas as pd
 
@@ -35,11 +41,6 @@ from .query.shard import evaluate_query, handle_ranking, top_k_from_sorted_lists
 from .ranking import tokenify_query
 
 RESULT_SCHEMA = "shard int, doc_id long, score long, url binary, title_packed binary"
-
-_PAYLOAD_SCHEMA_COLS = [
-    "kind", "term", "shard", "salt", "block_id", "doc_count",
-    "doc_ids_enc", "freqs_enc", "flags_enc", "pos_counts_enc", "positions_enc",
-]
 
 
 def plan_terms(query: str) -> tuple[set[str], set[str], list]:
@@ -62,6 +63,21 @@ def plan_terms(query: str) -> tuple[set[str], set[str], list]:
     return posting_terms, position_terms, tokens
 
 
+def _pack_docmap(pdf: pd.DataFrame) -> pd.DataFrame:
+    shard = int(pdf["shard"].iloc[0])
+    entries = {}
+    for row in pdf.itertuples(index=False):
+        entries[int(row.doc_id)] = (
+            bytes(row.url),
+            [bytes(t) for t in row.title],
+            int(row.body_len), int(row.title_len),
+            int(row.url_len), int(row.desc_len), float(row.pagerank),
+        )
+    return pd.DataFrame(
+        {"shard": [shard], "docmap": [pickle.dumps(entries, protocol=4)]}
+    )
+
+
 class SearchEngine:
     def __init__(self, spark, index_dir: str, cache_doc_map: bool = True):
         self.spark = spark
@@ -71,9 +87,13 @@ class SearchEngine:
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.positions = spark.read.parquet(os.path.join(index_dir, "positions"))
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
-        self.doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
+        doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
+        self.shard_images = doc_map.groupBy("shard").applyInPandas(
+            _pack_docmap, schema="shard int, docmap binary"
+        )
         if cache_doc_map:
-            self.doc_map = self.doc_map.cache()
+            self.shard_images = self.shard_images.persist()
+            self.shard_images.count()  # materialize the shard images once
         self.stats = {
             int(r["shard"]): {
                 "doc_count": int(r["doc_count"]),
@@ -107,74 +127,73 @@ class SearchEngine:
         rows = self._bucket_filter(self.term_dict, terms).collect()
         return {(r["term"], int(r["shard"])): int(r["df"]) for r in rows}
 
+    def _collect_payload(self, posting_terms, position_terms):
+        """Driver-side collect of the query's (small) posting/position blocks."""
+        payload: dict[int, dict[str, list]] = {}
+        prows = self._bucket_filter(self.postings, posting_terms).select(
+            "shard", "term", "salt", "block_id", "doc_ids_enc", "freqs_enc"
+        ).collect()
+        for r in prows:
+            payload.setdefault(int(r["shard"]), {"P": [], "X": []})["P"].append(
+                (r["term"], int(r["salt"]), int(r["block_id"]),
+                 bytes(r["doc_ids_enc"]), bytes(r["freqs_enc"]))
+            )
+        xrows = self._bucket_filter(self.positions, position_terms).select(
+            "shard", "term", "salt", "doc_ids_enc", "flags_enc",
+            "pos_counts_enc", "positions_enc",
+        ).collect()
+        for r in xrows:
+            payload.setdefault(int(r["shard"]), {"P": [], "X": []})["X"].append(
+                (r["term"], int(r["salt"]), bytes(r["doc_ids_enc"]),
+                 bytes(r["flags_enc"]), bytes(r["pos_counts_enc"]),
+                 bytes(r["positions_enc"]))
+            )
+        return payload
+
     # --- query API ---
 
     def top_k(self, query: str) -> list[tuple[int, int, bytes, list[bytes]]]:
         """Merged top-50 of (global_doc_id, score, url, title_words)."""
-        from pyspark.sql import functions as F
-
         posting_terms, position_terms, tokens = plan_terms(query)
-
-        p = self._bucket_filter(self.postings, posting_terms).select(
-            F.lit("P").alias("kind"), "term", "shard", "salt", "block_id",
-            "doc_count", "doc_ids_enc", "freqs_enc",
-            F.lit(None).cast("binary").alias("flags_enc"),
-            F.lit(None).cast("binary").alias("pos_counts_enc"),
-            F.lit(None).cast("binary").alias("positions_enc"),
-        )
-        x = self._bucket_filter(self.positions, position_terms).select(
-            F.lit("X").alias("kind"), "term", "shard", "salt",
-            F.lit(0).alias("block_id"), "doc_count", "doc_ids_enc",
-            F.lit(None).cast("binary").alias("freqs_enc"),
-            "flags_enc", "pos_counts_enc", "positions_enc",
-        )
-        payload = p.unionByName(x)
-
+        payload = self._collect_payload(posting_terms, position_terms)
         df_map = self._df_lookup(tokens)
         stats = self.stats
         shard_size = self.meta["shard_size"]
         qstr = query
 
-        def run_shard(key, payload_pdf: pd.DataFrame, docmap_pdf: pd.DataFrame):
-            shard_id = int(key[0])
-            st = stats.get(shard_id)
-            if st is None or len(docmap_pdf) == 0:
-                return pd.DataFrame(
-                    columns=["shard", "doc_id", "score", "url", "title_packed"]
-                )
-            shard = _build_shard(
-                shard_id, shard_size, st, payload_pdf, docmap_pdf, df_map
-            )
-            matches = evaluate_query(qstr, shard)
-            ranked = handle_ranking(qstr, shard, matches)
+        def run_shards(batches):
             from .codec import pack_words
 
-            return pd.DataFrame(
-                {
-                    "shard": shard_id,
-                    "doc_id": [d + shard.base_doc_id for d, _, _, _ in ranked],
-                    "score": [s for _, s, _, _ in ranked],
-                    "url": [u for _, _, u, _ in ranked],
-                    "title_packed": [pack_words(t) for _, _, _, t in ranked],
-                }
-            )
+            for pdf in batches:
+                out = {"shard": [], "doc_id": [], "score": [],
+                       "url": [], "title_packed": []}
+                for row in pdf.itertuples(index=False):
+                    shard_id = int(row.shard)
+                    st = stats.get(shard_id)
+                    if st is None:
+                        continue
+                    shard = _build_shard(
+                        shard_id, shard_size, st,
+                        payload.get(shard_id), pickle.loads(row.docmap), df_map,
+                    )
+                    matches = evaluate_query(qstr, shard)
+                    for d, s, u, t in handle_ranking(qstr, shard, matches):
+                        out["shard"].append(shard_id)
+                        out["doc_id"].append(d + shard.base_doc_id)
+                        out["score"].append(s)
+                        out["url"].append(u)
+                        out["title_packed"].append(pack_words(t))
+                yield pd.DataFrame(out)
 
-        grouped = (
-            payload.groupBy("shard")
-            .cogroup(self.doc_map.groupBy("shard"))
-            .applyInPandas(run_shard, schema=RESULT_SCHEMA)
-        )
         from .codec import unpack_words
 
-        rows = grouped.collect()
+        rows = self.shard_images.mapInPandas(run_shards, RESULT_SCHEMA).collect()
         by_shard: dict[int, list] = {}
         for r in rows:
             by_shard.setdefault(int(r["shard"]), []).append(
                 (int(r["doc_id"]), int(r["score"]), bytes(r["url"]),
                  unpack_words(bytes(r["title_packed"])))
             )
-        # rows arrive per shard already in (score desc, doc desc) order, but
-        # collect() may interleave shards — regroup, keep within-shard order.
         ordered_lists = [by_shard[s] for s in sorted(by_shard)]
         if not ordered_lists:
             return []
@@ -182,60 +201,42 @@ class SearchEngine:
 
     def matches(self, query: str) -> list[int]:
         """Global ascending matched docids (diagnostic / tests)."""
-        out: list[int] = []
-        for tk in self._all_shards_eval(query):
-            out.extend(tk)
-        return sorted(out)
-
-    def _all_shards_eval(self, query: str):
-        from pyspark.sql import functions as F
-
         posting_terms, position_terms, _ = plan_terms(query)
-        p = self._bucket_filter(self.postings, posting_terms).select(
-            F.lit("P").alias("kind"), "term", "shard", "salt", "block_id",
-            "doc_count", "doc_ids_enc", "freqs_enc",
-            F.lit(None).cast("binary").alias("flags_enc"),
-            F.lit(None).cast("binary").alias("pos_counts_enc"),
-            F.lit(None).cast("binary").alias("positions_enc"),
-        )
-        x = self._bucket_filter(self.positions, position_terms).select(
-            F.lit("X").alias("kind"), "term", "shard", "salt",
-            F.lit(0).alias("block_id"), "doc_count", "doc_ids_enc",
-            F.lit(None).cast("binary").alias("freqs_enc"),
-            "flags_enc", "pos_counts_enc", "positions_enc",
-        )
-        payload = p.unionByName(x)
+        payload = self._collect_payload(posting_terms, position_terms)
         stats = self.stats
         shard_size = self.meta["shard_size"]
         qstr = query
 
-        def run_shard(key, payload_pdf, docmap_pdf):
-            shard_id = int(key[0])
-            st = stats.get(shard_id)
-            if st is None or len(docmap_pdf) == 0:
-                return pd.DataFrame(columns=["doc_id"])
-            shard = _build_shard(shard_id, shard_size, st, payload_pdf, docmap_pdf, {})
-            matches = evaluate_query(qstr, shard)
-            return pd.DataFrame({"doc_id": [m + shard.base_doc_id for m in matches]})
+        def run_shards(batches):
+            for pdf in batches:
+                out: list[int] = []
+                for row in pdf.itertuples(index=False):
+                    shard_id = int(row.shard)
+                    st = stats.get(shard_id)
+                    if st is None:
+                        continue
+                    shard = _build_shard(
+                        shard_id, shard_size, st,
+                        payload.get(shard_id), pickle.loads(row.docmap), {},
+                    )
+                    out.extend(
+                        m + shard.base_doc_id for m in evaluate_query(qstr, shard)
+                    )
+                yield pd.DataFrame({"doc_id": out})
 
-        rows = (
-            payload.groupBy("shard")
-            .cogroup(self.doc_map.groupBy("shard"))
-            .applyInPandas(run_shard, schema="doc_id long")
-            .collect()
-        )
-        yield [int(r["doc_id"]) for r in rows]
+        rows = self.shard_images.mapInPandas(run_shards, "doc_id long").collect()
+        return sorted(int(r["doc_id"]) for r in rows)
 
 
 def _build_shard(
     shard_id: int,
     shard_size: int,
     st: dict,
-    payload_pdf: pd.DataFrame,
-    docmap_pdf: pd.DataFrame,
+    payload: dict | None,
+    docmap: dict,
     df_map: dict[tuple[str, int], int],
 ) -> ShardIndex:
-    """Decode the query's blocks + the shard doc map into a ShardIndex."""
+    """Decode the query's blocks + the shard doc-map image into a ShardIndex."""
     from .codec import decode_position_block, decode_posting_block
 
     shard = ShardIndex(
@@ -250,48 +251,40 @@ def _build_shard(
         if shard_key == shard_id:
             shard.extra_doc_freqs[term] = df
 
-    if len(payload_pdf):
-        post = payload_pdf[payload_pdf["kind"] == "P"]
-        if len(post):
-            post = post.sort_values(["term", "salt", "block_id"], kind="mergesort")
-            for term, grp in post.groupby("term", sort=False):
-                docs: list[int] = []
-                freqs: list[int] = []
-                for de, fe in zip(grp["doc_ids_enc"], grp["freqs_enc"]):
-                    d, f = decode_posting_block(bytes(de), bytes(fe))
-                    docs.extend(d.tolist())
-                    freqs.extend(f.tolist())
-                shard.postings[term] = (docs, freqs)
-        pos = payload_pdf[payload_pdf["kind"] == "X"]
-        if len(pos):
-            pos = pos.sort_values(["term", "salt"], kind="mergesort")
-            for term, grp in pos.groupby("term", sort=False):
-                docs = []
-                flags: list[int] = []
-                plists: list[list[int]] = []
-                for de, fe, ce, pe in zip(
-                    grp["doc_ids_enc"], grp["flags_enc"],
-                    grp["pos_counts_enc"], grp["positions_enc"],
-                ):
-                    d, fl, pl = decode_position_block(
-                        bytes(de), bytes(fe), bytes(ce), bytes(pe)
-                    )
-                    docs.extend(d.tolist())
-                    flags.extend(fl.tolist())
-                    plists.extend(p.tolist() for p in pl)
-                shard.positions[term] = (docs, flags, plists)
+    if payload:
+        by_term: dict[str, list] = {}
+        for term, salt, block_id, de, fe in payload["P"]:
+            by_term.setdefault(term, []).append((salt, block_id, de, fe))
+        for term, blocks in by_term.items():
+            blocks.sort(key=lambda b: (b[0], b[1]))
+            docs: list[int] = []
+            freqs: list[int] = []
+            for _salt, _bid, de, fe in blocks:
+                d, f = decode_posting_block(de, fe)
+                docs.extend(d.tolist())
+                freqs.extend(f.tolist())
+            shard.postings[term] = (docs, freqs)
+        by_term = {}
+        for term, salt, de, fe, ce, pe in payload["X"]:
+            by_term.setdefault(term, []).append((salt, de, fe, ce, pe))
+        for term, blocks in by_term.items():
+            blocks.sort(key=lambda b: b[0])
+            docs = []
+            flags: list[int] = []
+            plists: list[list[int]] = []
+            for _salt, de, fe, ce, pe in blocks:
+                d, fl, pl = decode_position_block(de, fe, ce, pe)
+                docs.extend(d.tolist())
+                flags.extend(fl.tolist())
+                plists.extend(p.tolist() for p in pl)
+            shard.positions[term] = (docs, flags, plists)
 
     base = shard.base_doc_id
-    for row in docmap_pdf.itertuples(index=False):
-        local = int(row.doc_id) - base
+    for doc_id, (url, title, body_len, title_len, url_len, desc_len, pagerank) in docmap.items():
+        local = doc_id - base
         shard.doc_map[local] = DocMeta(
-            doc_id=local,
-            url=bytes(row.url),
-            title=[bytes(t) for t in row.title],
-            body_len=int(row.body_len),
-            title_len=int(row.title_len),
-            url_len=int(row.url_len),
-            desc_len=int(row.desc_len),
-            pagerank=float(row.pagerank),
+            doc_id=local, url=url, title=title, body_len=body_len,
+            title_len=title_len, url_len=url_len, desc_len=desc_len,
+            pagerank=pagerank,
         )
     return shard

@@ -45,12 +45,14 @@ DEFAULT_NUM_BUCKETS = 16
 EXTRACT_SCHEMA = (
     "url binary, title array<binary>, text binary, "
     "body_len int, title_len int, url_len int, desc_len int, "
-    "terms array<struct<term:string,freq:int,flags:int,positions:array<int>>>"
+    "terms array<string>, freqs array<int>, flags array<int>, "
+    "positions array<array<int>>"
 )
 DOCS_SCHEMA = (
     "url binary, title array<binary>, text binary, "
     "body_len int, title_len int, url_len int, desc_len int, "
-    "terms array<struct<term:string,freq:int,flags:int,positions:array<int>>>, "
+    "terms array<string>, freqs array<int>, flags array<int>, "
+    "positions array<array<int>>, "
     "doc_id long, shard int, local_id long"
 )
 POSTING_BLOCK_SCHEMA = (
@@ -64,51 +66,90 @@ POSITION_BLOCK_SCHEMA = (
     "flags_enc binary, pos_counts_enc binary, positions_enc binary"
 )
 
+_POSTING_DTYPES = {
+    "term": "object", "shard": "int32", "salt": "int32", "block_id": "int32",
+    "doc_count": "int32", "first_doc_id": "int64", "last_doc_id": "int64",
+    "max_freq": "int32", "freq_sum": "int64",
+    "doc_ids_enc": "object", "freqs_enc": "object",
+}
+_POSITION_DTYPES = {
+    "term": "object", "shard": "int32", "salt": "int32", "doc_count": "int32",
+    "first_doc_id": "int64", "last_doc_id": "int64", "doc_ids_enc": "object",
+    "flags_enc": "object", "pos_counts_enc": "object", "positions_enc": "object",
+}
+
 
 def term_bucket(term: str, num_buckets: int) -> int:
     return zlib.crc32(term.encode("latin-1")) % num_buckets
 
 
-def _extract_partition(batches):
-    """mapInPandas worker: HTML -> admitted doc rows with per-doc term stats."""
+def _extract_arrow(batches):
+    """mapInArrow worker: HTML -> admitted doc rows with per-doc term stats.
+
+    Builds Arrow arrays directly (parallel primitive lists, no per-term
+    Python dicts/structs) — this keeps the expensive per-doc Python work in
+    ``process_page`` and the serialization at Arrow speed.
+    """
+    import pyarrow as pa
+
     from .text.docproc import process_page
 
-    for pdf in batches:
-        out = {k: [] for k in (
-            "url", "title", "text", "body_len", "title_len", "url_len",
-            "desc_len", "terms",
-        )}
-        for url, html in zip(pdf["url"], pdf["html"]):
+    for batch in batches:
+        urls_in = batch.column("url").to_pylist()
+        htmls_in = batch.column("html").to_pylist()
+        urls, titles, texts = [], [], []
+        body_lens, title_lens, url_lens, desc_lens = [], [], [], []
+        terms_col, freqs_col, flags_col, poss_col = [], [], [], []
+        for url, html in zip(urls_in, htmls_in):
             if html is None:
                 continue
             url_b = url.encode("utf-8") if isinstance(url, str) else bytes(url)
             doc = process_page(url_b, bytes(html))
             if doc is None:
                 continue
-            terms = []
+            terms, freqs, flags, poss = [], [], [], []
             for term_b, freq in doc.term_freqs.items():
-                flags_flat = doc.term_positions.get(term_b)
-                terms.append({
-                    "term": term_b.decode("latin-1"),
-                    "freq": freq,
-                    "flags": flags_flat[0] if flags_flat else 0,
-                    "positions": flags_flat[1] if flags_flat else [],
-                })
-            out["url"].append(url_b)
-            out["title"].append(doc.title_words)
-            out["text"].append(doc.text)
-            out["body_len"].append(doc.body_len)
-            out["title_len"].append(doc.title_len)
-            out["url_len"].append(doc.url_len)
-            out["desc_len"].append(doc.desc_len)
-            out["terms"].append(terms)
-        yield pd.DataFrame(out)
+                fp = doc.term_positions.get(term_b)
+                terms.append(term_b.decode("latin-1"))
+                freqs.append(freq)
+                flags.append(fp[0] if fp else 0)
+                poss.append(fp[1] if fp else [])
+            urls.append(url_b)
+            titles.append(doc.title_words)
+            texts.append(doc.text)
+            body_lens.append(doc.body_len)
+            title_lens.append(doc.title_len)
+            url_lens.append(doc.url_len)
+            desc_lens.append(doc.desc_len)
+            terms_col.append(terms)
+            freqs_col.append(freqs)
+            flags_col.append(flags)
+            poss_col.append(poss)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.binary()),
+                pa.array(titles, pa.list_(pa.binary())),
+                pa.array(texts, pa.binary()),
+                pa.array(body_lens, pa.int32()),
+                pa.array(title_lens, pa.int32()),
+                pa.array(url_lens, pa.int32()),
+                pa.array(desc_lens, pa.int32()),
+                pa.array(terms_col, pa.list_(pa.string())),
+                pa.array(freqs_col, pa.list_(pa.int32())),
+                pa.array(flags_col, pa.list_(pa.int32())),
+                pa.array(poss_col, pa.list_(pa.list_(pa.int32()))),
+            ],
+            names=[
+                "url", "title", "text", "body_len", "title_len", "url_len",
+                "desc_len", "terms", "freqs", "flags", "positions",
+            ],
+        )
 
 
 def extract_docs(pages: DataFrame) -> DataFrame:
     """pages(url, html, ...) -> admitted docs with term stats (one parse pass)."""
-    return pages.select("url", "html").mapInPandas(
-        _extract_partition, schema=EXTRACT_SCHEMA
+    return pages.select("url", "html").mapInArrow(
+        _extract_arrow, schema=EXTRACT_SCHEMA
     )
 
 
@@ -144,18 +185,26 @@ def build_index(
         metrics.append({"phase": name, "started": time.time() - t_start})
         return metrics[-1]
 
-    # --- Phase 1: extraction (the expensive parse), checkpointed ---
-    stage_path = os.path.join(out_dir, "stage_docs")
+    # --- Phase 1a: extraction (the expensive parse), checkpointed raw ---
+    # Written BEFORE the range sort: repartitionByRange samples its child,
+    # which would run the HTML parse twice if sorted directly.
+    raw_path = os.path.join(out_dir, "stage_raw")
     m = phase("extract")
     if sort_partitions is None:
         sort_partitions = max(spark.sparkContext.defaultParallelism, 4)
-    extracted = (
-        extract_docs(pages)
+    m["ran"] = _write_once(extract_docs(pages), raw_path, force=force)
+    m["finished"] = time.time() - t_start
+
+    # --- Phase 1b: global url sort (cheap from parquet) ---
+    stage_path = os.path.join(out_dir, "stage_docs")
+    m = phase("sort")
+    sorted_docs = (
+        spark.read.parquet(raw_path)
         .repartitionByRange(sort_partitions, "url")
         .sortWithinPartitions("url")
         .withColumn("pid", F.spark_partition_id())
     )
-    m["ran"] = _write_once(extracted, stage_path, force=force)
+    m["ran"] = _write_once(sorted_docs, stage_path, force=force)
     m["finished"] = time.time() - t_start
 
     stage = spark.read.parquet(stage_path)
@@ -174,17 +223,26 @@ def build_index(
         acc += counts[pid]
     shard_size = -(-total_docs // num_shards) if total_docs else 1
 
-    def _assign(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
-        base = offsets[int(pdf["pid"].iloc[0])] if len(pdf) else 0
-        doc_id = base + np.arange(len(pdf), dtype=np.int64)
-        pdf = pdf.drop(columns=["pid"])
-        pdf["doc_id"] = doc_id
-        pdf["shard"] = (doc_id // shard_size).astype(np.int32)
-        pdf["local_id"] = doc_id - pdf["shard"].to_numpy().astype(np.int64) * shard_size
-        return pdf
+    def _assign(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    docs = stage.groupBy("pid").applyInPandas(_assign, schema=DOCS_SCHEMA)
+        if table.num_rows == 0:
+            return table.drop_columns(["pid"])
+        order = pc.sort_indices(table, sort_keys=[("url", "ascending")])
+        table = table.take(order)
+        base = offsets[table.column("pid")[0].as_py()]
+        doc_id = base + np.arange(table.num_rows, dtype=np.int64)
+        shard = (doc_id // shard_size).astype(np.int32)
+        local = doc_id - shard.astype(np.int64) * shard_size
+        table = table.drop_columns(["pid"])
+        return (
+            table.append_column("doc_id", pa.array(doc_id, pa.int64()))
+            .append_column("shard", pa.array(shard, pa.int32()))
+            .append_column("local_id", pa.array(local, pa.int64()))
+        )
+
+    docs = stage.groupBy("pid").applyInArrow(_assign, schema=DOCS_SCHEMA)
     docs_path = os.path.join(out_dir, "docs")
     m["ran"] = _write_once(docs, docs_path, force=force)
     m["total_docs"] = total_docs
@@ -213,33 +271,49 @@ def build_index(
     # --- Phase 4: postings + positions blocks (salted against head-term skew) ---
     m = phase("postings")
     exploded = (
-        docs.select("shard", "local_id", F.explode("terms").alias("t"))
+        docs.select(
+            "shard", "local_id",
+            F.explode(F.arrays_zip("terms", "freqs", "flags", "positions")).alias("t"),
+        )
         .select(
-            F.col("t.term").alias("term"),
+            F.col("t.terms").alias("term"),
             "shard",
             (F.col("local_id") / SALT_RANGE).cast("int").alias("salt"),
             F.col("local_id").alias("doc_id"),
-            F.col("t.freq").alias("freq"),
+            F.col("t.freqs").alias("freq"),
             F.col("t.flags").alias("flags"),
             F.col("t.positions").alias("positions"),
         )
     )
 
-    def _posting_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        salt = int(pdf["salt"].iloc[0])
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        freqs = pdf["freq"].to_numpy(dtype=np.int64)
+    def _posting_blocks(batches):
+        # One Python call per shuffle partition, pandas groupby inside —
+        # orders of magnitude fewer crossings than per-group applyInPandas.
+        # Partition memory is bounded: the repartition key includes `salt`,
+        # so no group exceeds SALT_RANGE postings, and partition count is
+        # tuned by spark.sql.shuffle.partitions.
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            yield pd.DataFrame(
+                {name: pd.Series(dtype=dt) for name, dt in _POSTING_DTYPES.items()}
+            )
+            return
         rows = []
-        for blk in encode_posting_blocks(doc_ids, freqs):
-            blk.update(term=term, shard=shard, salt=salt)
-            rows.append(blk)
-        return pd.DataFrame(rows)
+        for (term, shard, salt), grp in pdf.groupby(
+            ["term", "shard", "salt"], sort=False
+        ):
+            for blk in encode_posting_blocks(
+                grp["doc_id"].to_numpy(dtype=np.int64),
+                grp["freq"].to_numpy(dtype=np.int64),
+            ):
+                blk.update(term=term, shard=int(shard), salt=int(salt))
+                rows.append(blk)
+        yield pd.DataFrame(rows)
 
     posting_blocks = (
-        exploded.groupBy("term", "shard", "salt")
-        .applyInPandas(_posting_blocks, schema=POSTING_BLOCK_SCHEMA)
+        exploded.drop("flags", "positions")
+        .repartition(sort_partitions, "term", "shard", "salt")
+        .mapInPandas(_posting_blocks, schema=POSTING_BLOCK_SCHEMA)
         .withColumn(
             "bucket",
             F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
@@ -255,21 +329,30 @@ def build_index(
 
     m = phase("positions")
 
-    def _position_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        salt = int(pdf["salt"].iloc[0])
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        flags = pdf["flags"].to_numpy(dtype=np.int64)
-        positions = [np.asarray(p, dtype=np.uint32) for p in pdf["positions"]]
-        blk = encode_position_block(doc_ids, flags, positions)
-        blk.update(term=term, shard=shard, salt=salt)
-        return pd.DataFrame([blk])
+    def _position_blocks(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            yield pd.DataFrame(
+                {name: pd.Series(dtype=dt) for name, dt in _POSITION_DTYPES.items()}
+            )
+            return
+        rows = []
+        for (term, shard, salt), grp in pdf.groupby(
+            ["term", "shard", "salt"], sort=False
+        ):
+            blk = encode_position_block(
+                grp["doc_id"].to_numpy(dtype=np.int64),
+                grp["flags"].to_numpy(dtype=np.int64),
+                [np.asarray(p, dtype=np.uint32) for p in grp["positions"]],
+            )
+            blk.update(term=term, shard=int(shard), salt=int(salt))
+            rows.append(blk)
+        yield pd.DataFrame(rows)
 
     position_blocks = (
         exploded.filter(F.size("positions") > 0)
-        .groupBy("term", "shard", "salt")
-        .applyInPandas(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
+        .repartition(sort_partitions, "term", "shard", "salt")
+        .mapInPandas(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
         .withColumn(
             "bucket",
             F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
