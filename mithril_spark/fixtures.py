@@ -69,19 +69,21 @@ def _make_url(rng: random.Random, i: int) -> str:
     depth = rng.randint(0, 4)
     parts = [rng.choice(VOCAB) for _ in range(depth)]
     ext = rng.choice(EXTENSIONS)
-    path = "/".join(parts)
+    # 'd{i}' path segment makes every url unique by construction, which keeps
+    # per-page generation independent (distributable via spark.range).
+    path = "/".join(parts + [f"d{i}"])
     url = f"{scheme}://{domain}/{path}"
-    if path and ext:
+    if ext:
         url += ext
     if rng.random() < 0.2:
         url += f"?q={rng.choice(VOCAB)}&page={rng.randint(1, 3)}"
     if rng.random() < 0.1:
         url += f"/{rng.randint(10000, 99999)}"
-    return url + f"#id{i}" if False else url + ("" if i is None else f"?doc={i}" if rng.random() < 0.15 else "")
+    return url
 
 
-def _make_html(rng: random.Random, i: int) -> tuple[str, str]:
-    """Returns (html, lang_attr)."""
+def _make_html(rng: random.Random, i: int, scale: int = 1) -> tuple[str, str]:
+    """Returns (html, lang_attr); `scale` multiplies body size."""
     lang_roll = rng.random()
     if lang_roll < 0.75:
         lang = "en"
@@ -98,7 +100,7 @@ def _make_html(rng: random.Random, i: int) -> tuple[str, str]:
     desc = " ".join(_words(rng, rng.randint(4, 12)))
 
     body_chunks: list[str] = []
-    n_paras = rng.randint(2, 6)
+    n_paras = rng.randint(2, 6) * scale
     for _ in range(n_paras):
         para = _words(rng, rng.randint(10, 60))
         # seed adjacent runs for quote/phrase queries
@@ -157,30 +159,54 @@ def _make_html(rng: random.Random, i: int) -> tuple[str, str]:
     return html, lang
 
 
-def generate_pages(
-    n: int, seed: int = 42
-) -> list[dict]:
-    """Rows of the `pages` table: url, warc_ts, html(bytes), text(None), lang."""
-    rng = random.Random(seed)
+def generate_page(i: int, seed: int = 42, scale: int = 1) -> dict:
+    """Deterministic page #i — independent of all other pages, so the corpus
+    can be generated distributed (each executor materializes its id range)."""
+    rng = random.Random((seed << 32) ^ i)
     t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
-    rows = []
-    seen: set[str] = set()
-    for i in range(n):
-        url = _make_url(rng, i)
-        while url in seen:
-            url += f"&u={rng.randint(0, 10**6)}"
-        seen.add(url)
-        html, lang = _make_html(rng, i)
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": t0 + timedelta(seconds=17 * i),
-                "html": html.encode("utf-8"),
-                "text": None,
-                "lang": lang,
-            }
-        )
-    return rows
+    url = _make_url(rng, i)
+    html, lang = _make_html(rng, i, scale=scale)
+    return {
+        "url": url,
+        "warc_ts": t0 + timedelta(seconds=17 * i),
+        "html": html.encode("utf-8"),
+        "text": None,
+        "lang": lang,
+    }
+
+
+def generate_pages(n: int, seed: int = 42, scale: int = 1) -> list[dict]:
+    """Rows of the `pages` table: url, warc_ts, html(bytes), text(None), lang."""
+    return [generate_page(i, seed, scale) for i in range(n)]
+
+
+def generate_pages_df(spark, n: int, seed: int = 42, scale: int = 1,
+                      partitions: int | None = None):
+    """Distributed deterministic corpus: spark.range -> per-id generation."""
+    import pyarrow as pa
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            rows = [generate_page(i, seed, scale) for i in ids]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r["url"] for r in rows], pa.string()),
+                    pa.array([r["warc_ts"] for r in rows],
+                             pa.timestamp("us", tz="UTC")),
+                    pa.array([r["html"] for r in rows], pa.binary()),
+                    pa.array([r["text"] for r in rows], pa.string()),
+                    pa.array([r["lang"] for r in rows], pa.string()),
+                ],
+                names=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInArrow(
+        gen, schema=PAGES_SCHEMA
+    )
 
 
 # The fixture query set (FIXTURES.md §3): covers every grammar production.

@@ -330,29 +330,66 @@ def build_index(
     m = phase("positions")
 
     def _position_blocks(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
-        if not len(pdf):
-            yield pd.DataFrame(
-                {name: pd.Series(dtype=dt) for name, dt in _POSITION_DTYPES.items()}
+        # Arrow-native: the per-doc position lists stay in the Arrow buffer
+        # (offsets+values); no per-row Python list materialization.
+        import pyarrow as pa
+
+        def emit(rows):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r["term"] for r in rows], pa.string()),
+                    pa.array([r["shard"] for r in rows], pa.int32()),
+                    pa.array([r["salt"] for r in rows], pa.int32()),
+                    pa.array([r["doc_count"] for r in rows], pa.int32()),
+                    pa.array([r["first_doc_id"] for r in rows], pa.int64()),
+                    pa.array([r["last_doc_id"] for r in rows], pa.int64()),
+                    pa.array([r["doc_ids_enc"] for r in rows], pa.binary()),
+                    pa.array([r["flags_enc"] for r in rows], pa.binary()),
+                    pa.array([r["pos_counts_enc"] for r in rows], pa.binary()),
+                    pa.array([r["positions_enc"] for r in rows], pa.binary()),
+                ],
+                names=["term", "shard", "salt", "doc_count", "first_doc_id",
+                       "last_doc_id", "doc_ids_enc", "flags_enc",
+                       "pos_counts_enc", "positions_enc"],
             )
+
+        batch_list = list(batches)
+        if not batch_list or sum(b.num_rows for b in batch_list) == 0:
+            yield emit([])
             return
+        tbl = pa.Table.from_batches(batch_list).combine_chunks()
+        pos_col = tbl.column("positions")
+        pos_arr = (
+            pos_col.chunk(0) if pos_col.num_chunks == 1 else pos_col.combine_chunks()
+        )
+        offsets = pos_arr.offsets.to_numpy()
+        values = pos_arr.values.to_numpy().astype(np.uint32, copy=False)
+        keys = pd.DataFrame(
+            {
+                "term": tbl.column("term").to_pandas(),
+                "shard": tbl.column("shard").to_numpy(),
+                "salt": tbl.column("salt").to_numpy(),
+            }
+        )
+        doc_ids = tbl.column("doc_id").to_numpy()
+        flags = tbl.column("flags").to_numpy()
         rows = []
-        for (term, shard, salt), grp in pdf.groupby(
+        for (term, shard, salt), idx in keys.groupby(
             ["term", "shard", "salt"], sort=False
-        ):
+        ).indices.items():
             blk = encode_position_block(
-                grp["doc_id"].to_numpy(dtype=np.int64),
-                grp["flags"].to_numpy(dtype=np.int64),
-                [np.asarray(p, dtype=np.uint32) for p in grp["positions"]],
+                doc_ids[idx],
+                flags[idx],
+                [values[offsets[i] : offsets[i + 1]] for i in idx],
             )
             blk.update(term=term, shard=int(shard), salt=int(salt))
             rows.append(blk)
-        yield pd.DataFrame(rows)
+        yield emit(rows)
 
     position_blocks = (
         exploded.filter(F.size("positions") > 0)
         .repartition(sort_partitions, "term", "shard", "salt")
-        .mapInPandas(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
+        .mapInArrow(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
         .withColumn(
             "bucket",
             F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),

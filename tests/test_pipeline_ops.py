@@ -1,0 +1,141 @@
+"""Multimodal plumbing, fingerprinting, embedding ops, and streaming tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from mithril_spark.pipeline_ops import synthetic_media_df
+
+    return synthetic_media_df(spark, 60).cache()
+
+
+def test_media_features(spark, media):
+    from mithril_spark.pipeline_ops import extract_media_features
+
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 60
+    assert all(r["decode_ok"] for r in feats)
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same payload -> same sha/feature
+    again = extract_media_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_frame_sample_plan(spark, media):
+    from mithril_spark.pipeline_ops import frame_sample_plan
+
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r["sample_ms"] % 1000 == 0 for r in rows)
+    vids = media.filter("kind = 'video' AND duration_ms > 0").count()
+    assert plan.select("media_id").distinct().count() >= vids
+
+
+def test_fingerprint_near_dups(spark):
+    from mithril_spark.pipeline_ops import fingerprint_near_dups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " extra tail words here"),          # near-dup of 0
+            (2, "completely different content " * 10),
+            (3, base.replace("gamma", "zzz")),             # still similar
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in fingerprint_near_dups(docs).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_cosine_topk_and_lsh(spark):
+    from mithril_spark.pipeline_ops import cosine_topk, lsh_bucket_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    top = cosine_topk(emb.filter("vec_id <> 0"), list(first), k=5).collect()
+    assert len(top) == 5
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.000001 <= s <= 1.000001 for s in sims)
+
+    buckets = lsh_bucket_embeddings(emb, n_planes=12, dim=len(first)).collect()
+    assert len(buckets) == emb.count()
+    # same vector -> same bucket (determinism)
+    again = lsh_bucket_embeddings(emb, n_planes=12, dim=len(first)).collect()
+    assert sorted(map(str, buckets)) == sorted(map(str, again))
+
+
+def test_streaming_extract_and_windows(spark, tmp_path):
+    import pandas as pd
+
+    from mithril_spark.fixtures import generate_pages, pages_to_df
+    from mithril_spark.streaming import (
+        stream_events_windowed,
+        stream_extract_pages,
+        stream_sessionize,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    pages_to_df(spark, generate_pages(60)).write.parquet(pages_dir)
+
+    q = stream_extract_pages(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    extracted = spark.read.parquet(out_dir)
+    batch_count = extracted.count()
+    assert batch_count > 0
+
+    # incremental: append more pages, resume from checkpoint
+    pages_to_df(spark, generate_pages(40, seed=7)).write.mode("append").parquet(pages_dir)
+    q2 = stream_extract_pages(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() > batch_count
+
+    # windowed agg + stateful sessionization on a rate-less memory stream:
+    # run them with the batch events table via the same logical plan builders
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    win = (
+        events.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type")
+        .count()
+    )
+    assert win.count() > 0
+
+    # applyInPandasWithState needs a streaming source; exercise via
+    # readStream over the events parquet written locally
+    ev_dir = str(tmp_path / "events")
+    events.write.parquet(ev_dir)
+    stream = spark.readStream.schema(events.schema).parquet(ev_dir)
+    sess = stream_sessionize(stream)
+    qs = (
+        sess.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    qs.awaitTermination(180)
+    got = spark.sql("select * from sess_test").toPandas()
+    assert len(got) > 0
+    assert (got["session_id"] >= 1).all()
+
+    winq = stream_events_windowed(stream)
+    qw = (
+        winq.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    qw.awaitTermination(180)
+    # append mode emits only watermark-closed windows; the plan executing
+    # without error + schema check is the assertion here
+    assert spark.sql("select * from win_test").columns == [
+        "window_start", "event_type", "n_events", "total_value"
+    ]
