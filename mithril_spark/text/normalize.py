@@ -166,8 +166,36 @@ def decorate_token(token: bytes, field: int) -> bytes:
     return prefix + token if prefix else token
 
 
+# Pure-function memo: web text repeats tokens heavily, so the per-worker
+# cache removes most normalize() work. Bounded to keep executor memory flat.
+_NORM_CACHE: dict[tuple[int, bytes], bytes] = {}
+_NORM_CACHE_MAX = 500_000
+
+
 def normalize(token: bytes, field: int = BODY) -> bytes:
     """TokenNormalizer::normalize — b'' means rejected."""
+    key = (field, token)
+    cached = _NORM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # Fast path: lowercase pure-ASCII-alpha tokens skip every phase except
+    # the length cap, stopword drop and decoration (provably equivalent:
+    # no tags/entities/trim chars/digits/punct/upper/0x80/0xFF present).
+    if token.isalpha() and token.islower():
+        if len(token) > 64:
+            result = b""
+        elif field == BODY and token in STOPWORDS:
+            result = b""
+        else:
+            result = decorate_token(token, field)
+    else:
+        result = _normalize_slow(token, field)
+    if len(_NORM_CACHE) < _NORM_CACHE_MAX:
+        _NORM_CACHE[key] = result
+    return result
+
+
+def _normalize_slow(token: bytes, field: int) -> bytes:
     if not token:
         return b""
     processed = _strip_html_tags(token)
