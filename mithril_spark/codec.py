@@ -75,26 +75,37 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(deltas.astype(np.uint64)).astype(np.uint32)
 
 
-def encode_posting_blocks(doc_ids: np.ndarray, freqs: np.ndarray):
+def encode_posting_blocks(
+    doc_ids: np.ndarray, freqs: np.ndarray, tf_norms: np.ndarray | None = None
+):
     """Chunk one (term, shard[, salt-range]) posting run into encoded blocks.
 
     Yields dicts: block_id (ordinal within this run), doc_count, first/last
-    doc id, max_freq, and the two varbyte payloads.
+    doc id, max_freq, per-block max normalized tf (``max_tfn`` — the tight
+    block-max score metadata for WAND; falls back to the loose
+    ``max_freq / (1-b)`` bound when per-doc body lengths aren't supplied),
+    and the two varbyte payloads.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.uint32)
     freqs = np.asarray(freqs, dtype=np.uint32)
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = doc_ids[order]
     freqs = freqs[order]
+    if tf_norms is None:
+        tf_norms = freqs.astype(np.float64) / 0.25  # (1-b) floor, b=0.75
+    else:
+        tf_norms = np.asarray(tf_norms, dtype=np.float64)[order]
     for b, start in enumerate(range(0, doc_ids.size, BLOCK_SIZE)):
         d = doc_ids[start : start + BLOCK_SIZE]
         f = freqs[start : start + BLOCK_SIZE]
+        t = tf_norms[start : start + BLOCK_SIZE]
         yield {
             "block_id": b,
             "doc_count": int(d.size),
             "first_doc_id": int(d[0]),
             "last_doc_id": int(d[-1]),
             "max_freq": int(f.max()),
+            "max_tfn": float(t.max()),
             "freq_sum": int(f.sum()),
             "doc_ids_enc": delta_encode(d),
             "freqs_enc": encode_vbyte(f),

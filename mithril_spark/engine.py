@@ -130,12 +130,25 @@ class SearchEngine:
     def _collect_payload(self, posting_terms, position_terms):
         """Driver-side collect of the query's (small) posting/position blocks."""
         payload: dict[int, dict[str, list]] = {}
+        from pyspark.sql import functions as F
+
+        # max_tfn is absent from indexes built before the tight block-max
+        # metadata existed; WAND then falls back to the loose max_freq bound.
+        tfn_col = (
+            F.col("max_tfn") if "max_tfn" in self.postings.columns
+            else F.lit(None).cast("double").alias("max_tfn")
+        )
         prows = self._bucket_filter(self.postings, posting_terms).select(
-            "shard", "term", "salt", "block_id", "doc_ids_enc", "freqs_enc"
+            "shard", "term", "salt", "block_id", "doc_count",
+            "first_doc_id", "last_doc_id", "max_freq", tfn_col,
+            "doc_ids_enc", "freqs_enc",
         ).collect()
         for r in prows:
             payload.setdefault(int(r["shard"]), {"P": [], "X": []})["P"].append(
                 (r["term"], int(r["salt"]), int(r["block_id"]),
+                 int(r["doc_count"]), int(r["first_doc_id"]),
+                 int(r["last_doc_id"]), int(r["max_freq"]),
+                 None if r["max_tfn"] is None else float(r["max_tfn"]),
                  bytes(r["doc_ids_enc"]), bytes(r["freqs_enc"]))
             )
         xrows = self._bucket_filter(self.positions, position_terms).select(
@@ -199,6 +212,65 @@ class SearchEngine:
             return []
         return top_k_from_sorted_lists(ordered_lists)
 
+    def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Block-max-WAND pure-BM25 disjunctive top-k (query/wand.py).
+
+        Query terms are body-normalized; per-shard WAND runs inside the
+        cached shard images (body lengths come from the doc-map image) with
+        per-shard df/stats, exactly like per-shard exhaustive BM25; the
+        driver merges by (score desc, global doc asc)."""
+        from .text.normalize import BODY, normalize
+
+        terms = {
+            normalize(tok.encode("utf-8"), BODY).decode("latin-1")
+            for tok in query.split()
+        } - {""}
+        if not terms:
+            return []
+        payload = self._collect_payload(terms, set())
+        stats = self.stats
+        shard_size = self.meta["shard_size"]
+
+        def run_shards(batches):
+            from .query.wand import bm25_wand_topk
+
+            for pdf in batches:
+                shards_out, docs_out, scores_out = [], [], []
+                for row in pdf.itertuples(index=False):
+                    shard_id = int(row.shard)
+                    st = stats.get(shard_id)
+                    pl = payload.get(shard_id)
+                    if st is None or not pl or not pl["P"]:
+                        continue
+                    docmap = pickle.loads(row.docmap)
+                    base = shard_id * shard_size
+                    body_lens = {
+                        doc_id - base: meta[2] for doc_id, meta in docmap.items()
+                    }
+                    term_blocks = _payload_blocks(pl["P"])
+                    avg = (
+                        st["total_body"] / st["doc_count"]
+                        if st["doc_count"] else 0.0
+                    )
+                    for d, s in bm25_wand_topk(
+                        term_blocks, body_lens, st["doc_count"], avg, k
+                    ):
+                        shards_out.append(shard_id)
+                        docs_out.append(d + base)
+                        scores_out.append(s)
+                yield pd.DataFrame(
+                    {"shard": shards_out, "doc_id": docs_out, "score": scores_out}
+                )
+
+        rows = self.shard_images.mapInPandas(
+            run_shards, "shard int, doc_id long, score double"
+        ).collect()
+        merged = sorted(
+            ((int(r["doc_id"]), float(r["score"])) for r in rows),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return merged[:k]
+
     def matches(self, query: str) -> list[int]:
         """Global ascending matched docids (diagnostic / tests)."""
         posting_terms, position_terms, _ = plan_terms(query)
@@ -228,6 +300,20 @@ class SearchEngine:
         return sorted(int(r["doc_id"]) for r in rows)
 
 
+def _payload_blocks(p_rows) -> dict[str, list[dict]]:
+    """Payload posting tuples -> per-term block dicts for the WAND cursors."""
+    out: dict[str, list[dict]] = {}
+    for term, salt, block_id, dc, fd, ld, mf, mt, de, fe in p_rows:
+        out.setdefault(term, []).append({
+            "doc_count": dc, "first_doc_id": fd, "last_doc_id": ld,
+            "max_freq": mf, "max_tfn": mt, "doc_ids_enc": de, "freqs_enc": fe,
+            "_order": (salt, block_id),
+        })
+    for blocks in out.values():
+        blocks.sort(key=lambda b: b["_order"])
+    return out
+
+
 def _build_shard(
     shard_id: int,
     shard_size: int,
@@ -253,7 +339,7 @@ def _build_shard(
 
     if payload:
         by_term: dict[str, list] = {}
-        for term, salt, block_id, de, fe in payload["P"]:
+        for term, salt, block_id, _dc, _fd, _ld, _mf, _mt, de, fe in payload["P"]:
             by_term.setdefault(term, []).append((salt, block_id, de, fe))
         for term, blocks in by_term.items():
             blocks.sort(key=lambda b: (b[0], b[1]))

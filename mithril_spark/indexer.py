@@ -57,8 +57,8 @@ DOCS_SCHEMA = (
 )
 POSTING_BLOCK_SCHEMA = (
     "term string, shard int, salt int, block_id int, doc_count int, "
-    "first_doc_id long, last_doc_id long, max_freq int, freq_sum long, "
-    "doc_ids_enc binary, freqs_enc binary"
+    "first_doc_id long, last_doc_id long, max_freq int, max_tfn double, "
+    "freq_sum long, doc_ids_enc binary, freqs_enc binary"
 )
 POSITION_BLOCK_SCHEMA = (
     "term string, shard int, salt int, doc_count int, "
@@ -69,7 +69,7 @@ POSITION_BLOCK_SCHEMA = (
 _POSTING_DTYPES = {
     "term": "object", "shard": "int32", "salt": "int32", "block_id": "int32",
     "doc_count": "int32", "first_doc_id": "int64", "last_doc_id": "int64",
-    "max_freq": "int32", "freq_sum": "int64",
+    "max_freq": "int32", "max_tfn": "float64", "freq_sum": "int64",
     "doc_ids_enc": "object", "freqs_enc": "object",
 }
 _POSITION_DTYPES = {
@@ -195,25 +195,40 @@ def build_index(
     m["ran"] = _write_once(extract_docs(pages), raw_path, force=force)
     m["finished"] = time.time() - t_start
 
-    # --- Phase 1b: global url sort (cheap from parquet) ---
-    stage_path = os.path.join(out_dir, "stage_docs")
-    m = phase("sort")
-    sorted_docs = (
-        spark.read.parquet(raw_path)
-        .repartitionByRange(sort_partitions, "url")
+    # --- Phase 2: deterministic dense docids in ONE full-data pass ---
+    # Range boundaries + exact offsets come from a cheap url-only projection
+    # (tiny vs. the full rows); the full data then shuffles exactly once
+    # (groupBy pid) — no sorted staging table, no second full-data shuffle.
+    m = phase("assign_ids")
+    stage = spark.read.parquet(raw_path)
+    url_proj = stage.select("url")
+    bounds_rows = (
+        url_proj.repartitionByRange(sort_partitions, "url")
         .sortWithinPartitions("url")
         .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.max("url").alias("max_url"))
+        .collect()
     )
-    m["ran"] = _write_once(sorted_docs, stage_path, force=force)
-    m["finished"] = time.time() - t_start
+    boundaries = [bytes(r["max_url"]) for r in
+                  sorted(bounds_rows, key=lambda r: bytes(r["max_url"]))][:-1]
 
-    stage = spark.read.parquet(stage_path)
+    def _pid_of(urls) -> np.ndarray:
+        from bisect import bisect_left
 
-    # --- Phase 2: deterministic dense docids (offsets broadcast, no global window) ---
-    m = phase("assign_ids")
+        return np.fromiter(
+            (bisect_left(boundaries, bytes(u)) for u in urls),
+            dtype=np.int32, count=len(urls),
+        )
+
+    @F.pandas_udf("int")
+    def pid_udf(urls: pd.Series) -> pd.Series:
+        return pd.Series(_pid_of(urls))
+
     counts = {
-        r["pid"]: r["cnt"]
-        for r in stage.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        int(r["pid"]): int(r["cnt"])
+        for r in url_proj.select(pid_udf("url").alias("pid"))
+        .groupBy("pid").agg(F.count("*").alias("cnt")).collect()
     }
     total_docs = sum(counts.values())
     offsets = {}
@@ -242,7 +257,11 @@ def build_index(
             .append_column("local_id", pa.array(local, pa.int64()))
         )
 
-    docs = stage.groupBy("pid").applyInArrow(_assign, schema=DOCS_SCHEMA)
+    docs = (
+        stage.withColumn("pid", pid_udf("url"))
+        .groupBy("pid")
+        .applyInArrow(_assign, schema=DOCS_SCHEMA)
+    )
     docs_path = os.path.join(out_dir, "docs")
     m["ran"] = _write_once(docs, docs_path, force=force)
     m["total_docs"] = total_docs
@@ -270,9 +289,15 @@ def build_index(
 
     # --- Phase 4: postings + positions blocks (salted against head-term skew) ---
     m = phase("postings")
+    # per-shard average body length for the tight per-block max-score bound
+    avg_body = {
+        int(r["shard"]): (int(r["total_body"]) / int(r["doc_count"])
+                          if int(r["doc_count"]) else 0.0)
+        for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
+    }
     exploded = (
         docs.select(
-            "shard", "local_id",
+            "shard", "local_id", "body_len",
             F.explode(F.arrays_zip("terms", "freqs", "flags", "positions")).alias("t"),
         )
         .select(
@@ -283,6 +308,7 @@ def build_index(
             F.col("t.freqs").alias("freq"),
             F.col("t.flags").alias("flags"),
             F.col("t.positions").alias("positions"),
+            "body_len",
         )
     )
 
@@ -302,9 +328,18 @@ def build_index(
         for (term, shard, salt), grp in pdf.groupby(
             ["term", "shard", "salt"], sort=False
         ):
+            freqs = grp["freq"].to_numpy(dtype=np.float64)
+            avg = avg_body.get(int(shard), 0.0)
+            if avg > 0:
+                norm = 0.25 + 0.75 * (
+                    grp["body_len"].to_numpy(dtype=np.float64) / avg
+                )
+            else:
+                norm = np.ones_like(freqs)
             for blk in encode_posting_blocks(
                 grp["doc_id"].to_numpy(dtype=np.int64),
                 grp["freq"].to_numpy(dtype=np.int64),
+                tf_norms=freqs / norm,
             ):
                 blk.update(term=term, shard=int(shard), salt=int(salt))
                 rows.append(blk)
@@ -387,7 +422,7 @@ def build_index(
         yield emit(rows)
 
     position_blocks = (
-        exploded.filter(F.size("positions") > 0)
+        exploded.drop("body_len").filter(F.size("positions") > 0)
         .repartition(sort_partitions, "term", "shard", "salt")
         .mapInArrow(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
         .withColumn(

@@ -678,20 +678,32 @@ def q_dedup_simhash(spark, sf):
             F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
-    a = sim.alias("a")
-    b = sim.alias("b")
+    # Pigeonhole banding: 9 bands of 7 bits cover the 60-bit simhash, so any
+    # pair within hamming distance 8 shares at least one identical band —
+    # candidates come from an equality join on (band, band_value) instead of
+    # a cross join (this is what survives a 100x scale-up).
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("band"),
+    ).withColumn("band_val", F.expr("(simhash >> (band * 7)) & 127"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
         .filter(F.col("hamming") <= 8)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("hamming").cast("int").alias("hamming"),
-        )
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
 
@@ -712,10 +724,18 @@ sim AS (
          CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+, bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 7)) & 127 AS band_val
+  FROM sim, LATERAL (SELECT unnest(range(0, 9)) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8
 """
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,108 @@
+"""Block-max WAND: exactness vs exhaustive BM25, plus the engine API."""
+
+import random
+
+import numpy as np
+import pytest
+
+from mithril_spark.codec import encode_posting_blocks
+from mithril_spark.query.wand import bm25_exhaustive_topk, bm25_wand_topk
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_wand_equals_exhaustive_random(seed):
+    rng = random.Random(seed)
+    for _trial in range(25):
+        n_docs = rng.randint(5, 600)
+        body_lens = {d: rng.randint(1, 50) for d in range(n_docs)}
+        avg = sum(body_lens.values()) / n_docs
+        term_blocks = {}
+        for t in range(rng.randint(1, 5)):
+            docs = sorted(rng.sample(range(n_docs), rng.randint(1, n_docs)))
+            freqs = [rng.choice([1, 1, 2, 3, 5, 100]) for _ in docs]
+            term_blocks[f"t{t}"] = list(
+                encode_posting_blocks(
+                    np.array(docs, np.uint32), np.array(freqs, np.uint32)
+                )
+            )
+        for k in (1, 5, 20):
+            assert bm25_wand_topk(term_blocks, body_lens, n_docs, avg, k) == \
+                bm25_exhaustive_topk(term_blocks, body_lens, n_docs, avg, k)
+
+
+def test_wand_skips_blocks():
+    """The lazy cursor must not decode blocks it can skip."""
+    import mithril_spark.query.wand as wand
+
+    n = 20000
+    docs_a = np.arange(0, n, 2, dtype=np.uint32)       # dense common term
+    freqs_a = np.ones_like(docs_a)
+    docs_b = np.array([n - 2], dtype=np.uint32)        # rare term at the end
+    freqs_b = np.array([50], dtype=np.uint32)
+    # body_len == avg everywhere -> norm 1 -> tf_norm == tf (tight bounds)
+    term_blocks = {
+        "common": list(encode_posting_blocks(docs_a, freqs_a, tf_norms=freqs_a)),
+        "rare": list(encode_posting_blocks(docs_b, freqs_b, tf_norms=freqs_b)),
+    }
+    body_lens = {d: 30 for d in range(n)}
+    decoded = 0
+    orig = wand._Cursor._load_block
+
+    def counting(self, idx):
+        nonlocal decoded
+        decoded += 1
+        return orig(self, idx)
+
+    wand._Cursor._load_block = counting
+    try:
+        got = bm25_wand_topk(term_blocks, body_lens, n, 30.0, 1)
+    finally:
+        wand._Cursor._load_block = orig
+    want = bm25_exhaustive_topk(term_blocks, body_lens, n, 30.0, 1)
+    assert got == want
+    total_blocks = len(term_blocks["common"]) + len(term_blocks["rare"])
+    assert decoded < total_blocks, "WAND decoded every block — no skipping"
+
+
+def test_engine_bm25_topk(spark, tmp_path_factory):
+    """Engine WAND == per-shard exhaustive BM25 computed from the oracle."""
+    from mithril_spark.engine import SearchEngine
+    from mithril_spark.fixtures import generate_pages, pages_to_df
+    from mithril_spark.indexer import build_index
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.ranking import bm25_score
+    from mithril_spark.text.normalize import BODY, normalize
+
+    pages = generate_pages(150, seed=42)
+    idx_dir = str(tmp_path_factory.mktemp("wandidx") / "i")
+    build_index(pages_to_df(spark, pages), idx_dir, num_shards=2)
+    engine = SearchEngine(spark, idx_dir)
+    oracle = OracleIndex.build(
+        [(r["url"].encode(), r["html"]) for r in pages], num_shards=2
+    )
+
+    for query, k in [("search engine", 10), ("granite quartz marble", 5),
+                     ("zzznothing", 3), ("the and of", 5)]:
+        got = engine.bm25_topk(query, k=k)
+        terms = {
+            normalize(t.encode(), BODY).decode("latin-1") for t in query.split()
+        } - {""}
+        want = []
+        for shard in oracle.shards:
+            scores: dict[int, float] = {}
+            for term in terms:
+                entry = shard.postings.get(term)
+                if not entry:
+                    continue
+                docs, freqs = entry
+                df = len(docs)
+                for d, f in zip(docs, freqs):
+                    scores[d] = scores.get(d, 0.0) + bm25_score(
+                        shard.doc_count, shard.avg_body_length,
+                        shard.doc_map[d].body_len, df, f,
+                    )
+            want.extend(
+                (d + shard.base_doc_id, s) for d, s in scores.items()
+            )
+        want.sort(key=lambda t: (-t[1], t[0]))
+        assert got == want[:k], query
