@@ -48,13 +48,6 @@ EXTRACT_SCHEMA = (
     "terms array<string>, freqs array<int>, flags array<int>, "
     "positions array<array<int>>"
 )
-DOCS_SCHEMA = (
-    "url binary, title array<binary>, text binary, "
-    "body_len int, title_len int, url_len int, desc_len int, "
-    "terms array<string>, freqs array<int>, flags array<int>, "
-    "positions array<array<int>>, "
-    "doc_id long, shard int, local_id long"
-)
 POSTING_BLOCK_SCHEMA = (
     "term string, shard int, salt int, block_id int, doc_count int, "
     "first_doc_id long, last_doc_id long, max_freq int, max_tfn double, "
@@ -195,78 +188,79 @@ def build_index(
     m["ran"] = _write_once(extract_docs(pages), raw_path, force=force)
     m["finished"] = time.time() - t_start
 
-    # --- Phase 2: deterministic dense docids in ONE full-data pass ---
-    # Range boundaries + exact offsets come from a cheap url-only projection
-    # (tiny vs. the full rows); the full data then shuffles exactly once
-    # (groupBy pid) — no sorted staging table, no second full-data shuffle.
+    # --- Phase 2: deterministic dense docids — url-only shuffle ---
+    # Only the url column moves: range-sort it, count per partition, assign
+    # rank offsets, and persist the tiny ids(url, doc_id, shard, local_id)
+    # table. The heavy extracted rows never shuffle for id assignment; they
+    # are joined against ids (broadcast when small, sort-merge/AQE at scale)
+    # lazily in the downstream phases.
     m = phase("assign_ids")
     stage = spark.read.parquet(raw_path)
-    url_proj = stage.select("url")
-    bounds_rows = (
-        url_proj.repartitionByRange(sort_partitions, "url")
-        .sortWithinPartitions("url")
-        .withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .agg(F.max("url").alias("max_url"))
-        .collect()
-    )
-    boundaries = [bytes(r["max_url"]) for r in
-                  sorted(bounds_rows, key=lambda r: bytes(r["max_url"]))][:-1]
-
-    def _pid_of(urls) -> np.ndarray:
-        from bisect import bisect_left
-
-        return np.fromiter(
-            (bisect_left(boundaries, bytes(u)) for u in urls),
-            dtype=np.int32, count=len(urls),
+    ids_path = os.path.join(out_dir, "doc_ids")
+    if force or not os.path.exists(os.path.join(ids_path, "_SUCCESS")):
+        url_sorted = (
+            stage.select("url")
+            .repartitionByRange(sort_partitions, "url")
+            .sortWithinPartitions("url")
+            .withColumn("pid", F.spark_partition_id())
         )
+        ids_stage = os.path.join(out_dir, "_ids_stage")
+        url_sorted.write.mode("overwrite").parquet(ids_stage)
+        staged = spark.read.parquet(ids_stage)
+        counts = {
+            int(r["pid"]): int(r["cnt"])
+            for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        total_docs = sum(counts.values())
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        shard_size = -(-total_docs // num_shards) if total_docs else 1
 
-    @F.pandas_udf("int")
-    def pid_udf(urls: pd.Series) -> pd.Series:
-        return pd.Series(_pid_of(urls))
+        def _assign(table):
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-    counts = {
-        int(r["pid"]): int(r["cnt"])
-        for r in url_proj.select(pid_udf("url").alias("pid"))
-        .groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    total_docs = sum(counts.values())
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    shard_size = -(-total_docs // num_shards) if total_docs else 1
+            if table.num_rows == 0:
+                return table.drop_columns(["pid"])
+            order = pc.sort_indices(table, sort_keys=[("url", "ascending")])
+            table = table.take(order)
+            base = offsets[table.column("pid")[0].as_py()]
+            doc_id = base + np.arange(table.num_rows, dtype=np.int64)
+            shard = (doc_id // shard_size).astype(np.int32)
+            local = doc_id - shard.astype(np.int64) * shard_size
+            table = table.drop_columns(["pid"])
+            return (
+                table.append_column("doc_id", pa.array(doc_id, pa.int64()))
+                .append_column("shard", pa.array(shard, pa.int32()))
+                .append_column("local_id", pa.array(local, pa.int64()))
+            )
 
-    def _assign(table):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        if table.num_rows == 0:
-            return table.drop_columns(["pid"])
-        order = pc.sort_indices(table, sort_keys=[("url", "ascending")])
-        table = table.take(order)
-        base = offsets[table.column("pid")[0].as_py()]
-        doc_id = base + np.arange(table.num_rows, dtype=np.int64)
-        shard = (doc_id // shard_size).astype(np.int32)
-        local = doc_id - shard.astype(np.int64) * shard_size
-        table = table.drop_columns(["pid"])
-        return (
-            table.append_column("doc_id", pa.array(doc_id, pa.int64()))
-            .append_column("shard", pa.array(shard, pa.int32()))
-            .append_column("local_id", pa.array(local, pa.int64()))
+        ids = staged.groupBy("pid").applyInArrow(
+            _assign, schema="url binary, doc_id long, shard int, local_id long"
         )
-
-    docs = (
-        stage.withColumn("pid", pid_udf("url"))
-        .groupBy("pid")
-        .applyInArrow(_assign, schema=DOCS_SCHEMA)
-    )
-    docs_path = os.path.join(out_dir, "docs")
-    m["ran"] = _write_once(docs, docs_path, force=force)
+        _write_once(ids, ids_path, force=True)
+        meta_tmp = {"total_docs": total_docs, "shard_size": shard_size}
+        with open(os.path.join(out_dir, "_assign_meta.json"), "w") as f:
+            json.dump(meta_tmp, f)
+        m["ran"] = True
+    else:
+        m["ran"] = False
+    with open(os.path.join(out_dir, "_assign_meta.json")) as f:
+        meta_tmp = json.load(f)
+    total_docs = meta_tmp["total_docs"]
+    shard_size = meta_tmp["shard_size"]
     m["total_docs"] = total_docs
     m["finished"] = time.time() - t_start
-    docs = spark.read.parquet(docs_path)
+
+    ids_df = spark.read.parquet(ids_path)
+    # broadcast the ids table while it comfortably fits executor memory;
+    # beyond that the join degrades gracefully to AQE sort-merge.
+    if total_docs <= 20_000_000:
+        ids_df = F.broadcast(ids_df)
+    docs = stage.join(ids_df, "url")
 
     # --- Phase 3: doc_map + index_stats ---
     m = phase("doc_map")

@@ -23,14 +23,22 @@ def main() -> None:
     from mithril_spark.indexer import build_index
     from mithril_spark.session import get_spark
 
-    spark = get_spark(cores=cpus, app_name=f"scaling-{cpus}")
+    # Shuffle + index output on tmpfs: a real N-vs-4N comparison adds disk
+    # bandwidth with every node, but this single box has ONE disk — tmpfs
+    # emulates the per-node storage a cluster would have, so the measurement
+    # captures the job's scaling rather than one local disk's saturation.
+    local_dir = f"/dev/shm/mithril_scaling_local_{cpus}"
+    spark = get_spark(cores=cpus, app_name=f"scaling-{cpus}",
+                      extra_conf={"spark.local.dir": local_dir})
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus)
-    out = f"/tmp/mithril_scaling_idx_{cpus}"
+    out = f"/dev/shm/mithril_scaling_idx_{cpus}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
     res = build_index(pages, out, num_shards=4, force=True)
     build_s = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(local_dir, ignore_errors=True)
     print(json.dumps({
         "cpus": cpus,
         "build_s": round(build_s, 2),

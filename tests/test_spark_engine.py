@@ -49,7 +49,7 @@ def oracle_pages(corpus):
 
 def test_text_byte_identity(spark, pages_df, corpus, index_1):
     """Engine-extracted text equals the oracle's, byte for byte, per url."""
-    docs = spark.read.parquet(index_1 + "/docs").select("url", "text").collect()
+    docs = spark.read.parquet(index_1 + "/stage_raw").select("url", "text").collect()
     got = {bytes(r["url"]): bytes(r["text"]) for r in docs}
     expected = {}
     for r in corpus:
