@@ -49,7 +49,24 @@ DOMAINS = [
 EXTENSIONS = [".html", ".php", "", ".htm", ".zip", ".asp"]
 
 
-def _words(rng: random.Random, n: int, *, stopword_rate: float = 0.3) -> list[str]:
+# A wide tail vocabulary (deterministic) so document frequencies of typical
+# query terms sit well below N/2 — exercising the positive-idf BM25 regime,
+# not just the uint32-wrap corner the tiny VOCAB alone would produce.
+_ROOTS = [
+    "gran", "bas", "quar", "ferr", "alum", "sil", "carb", "oxid", "hydr",
+    "therm", "electr", "magn", "photo", "chrono", "geo", "bio", "astro",
+    "micro", "macro", "poly", "mono", "iso", "meta", "para", "proto",
+    "pseudo", "semi", "ultra", "infra", "hyper", "neuro", "cardio",
+]
+_SUFFIXES = [
+    "ite", "ium", "ate", "ide", "ine", "one", "ase", "gen", "lith", "morph",
+    "phase", "tron", "scope", "graph", "meter", "pod", "derm",
+]
+TAIL_VOCAB = [r + s for r in _ROOTS for s in _SUFFIXES]  # 544 words
+
+
+def _words(rng: random.Random, n: int, *, stopword_rate: float = 0.3,
+           topic: list[str] | None = None) -> list[str]:
     out = []
     for _ in range(n):
         r = rng.random()
@@ -59,6 +76,8 @@ def _words(rng: random.Random, n: int, *, stopword_rate: float = 0.3) -> list[st
             out.append(rng.choice(ACRONYMS))
         elif r < stopword_rate + 0.08:
             out.append(rng.choice(ODD_TOKENS))
+        elif topic is not None and r < stopword_rate + 0.48:
+            out.append(rng.choice(topic))
         else:
             out.append(rng.choice(VOCAB))
     return out
@@ -94,19 +113,23 @@ def _make_html(rng: random.Random, i: int, scale: int = 1) -> tuple[str, str]:
     else:
         lang = ""
 
-    title = " ".join(_words(rng, rng.randint(2, 7), stopword_rate=0.15))
+    # per-doc topic: a narrow sample of the wide tail vocabulary, so most
+    # content terms appear in only a small fraction of documents
+    topic = [TAIL_VOCAB[rng.randrange(len(TAIL_VOCAB))] for _ in range(24)]
+    title = " ".join(_words(rng, rng.randint(2, 7), stopword_rate=0.15,
+                            topic=topic))
     has_title = rng.random() > 0.06
     noindex = rng.random() < 0.04
-    desc = " ".join(_words(rng, rng.randint(4, 12)))
+    desc = " ".join(_words(rng, rng.randint(4, 12), topic=topic))
 
     body_chunks: list[str] = []
     n_paras = rng.randint(2, 6) * scale
     for _ in range(n_paras):
-        para = _words(rng, rng.randint(10, 60))
+        para = _words(rng, rng.randint(10, 60), topic=topic)
         # seed adjacent runs for quote/phrase queries
-        if rng.random() < 0.5:
+        if rng.random() < 0.15:
             para.extend(["search", "engine"])
-        if rng.random() < 0.3:
+        if rng.random() < 0.1:
             para.extend(["open", "source", "spark", "engine"])
         if rng.random() < 0.25:
             para.append(rng.choice(ENTITY_SNIPPETS))
@@ -236,6 +259,12 @@ QUERY_SET = [
     "index NOT (spark OR engine)",
     "'spark engine'",
     "crawler parser query ranking",
+    # selective tail-vocabulary terms (positive-idf regime)
+    "thermite",
+    "photograph OR neurotron",
+    "electrite magnscope",
+    "title:isotron",
+    "polygen AND search",
 ]
 
 

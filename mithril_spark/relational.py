@@ -241,7 +241,8 @@ def q_window_segment_top3(spark, sf):
     return (
         c.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+        .select("c_mktsegment", "c_custkey", "c_acctbal",
+                F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -399,7 +400,7 @@ def q_token_stats(spark, sf):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
 
