@@ -87,6 +87,12 @@ class SearchEngine:
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.positions = spark.read.parquet(os.path.join(index_dir, "positions"))
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+        if cache_doc_map:
+            # lazy block-manager caching: only bucket partitions a query
+            # actually scans get cached — a hot-term cache, not a full load
+            self.postings = self.postings.cache()
+            self.positions = self.positions.cache()
+            self.term_dict = self.term_dict.cache()
         doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
         self.shard_images = doc_map.groupBy("shard").applyInPandas(
             _pack_docmap, schema="shard int, docmap binary"
