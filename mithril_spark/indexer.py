@@ -146,6 +146,30 @@ def extract_docs(pages: DataFrame) -> DataFrame:
     )
 
 
+def dedupe_pages(pages: DataFrame) -> DataFrame:
+    """Keep exactly one row per url: latest ``warc_ts``, ``md5(html)`` tie-break.
+
+    Recrawled urls are routine in web-page tables. Without this, docid
+    assignment (which shuffles urls only) would hand one url m ids and the
+    join back would fan out m*m, duplicating doc_map rows and inflating
+    per-shard stats and df. ``max_by`` partially aggregates map-side, so
+    duplicate html rows collapse before the shuffle wherever they co-occur
+    in a partition; the residual shuffle is one row per distinct url per
+    map partition — the standard latest-snapshot-per-url step of any crawl
+    pipeline, skew handled by AQE.
+    """
+    payload = [c for c in pages.columns if c != "url"]
+    order = []
+    if "warc_ts" in pages.columns:
+        order.append(F.col("warc_ts"))
+    order.append(F.md5(F.col("html")))  # deterministic tie-break on content
+    return (
+        pages.groupBy("url")
+        .agg(F.max_by(F.struct(*payload), F.struct(*order)).alias("_r"))
+        .select("url", *[F.col("_r." + c).alias(c) for c in payload])
+    )
+
+
 def _write_once(df: DataFrame, path: str, *, partition_by=None, force=False) -> bool:
     """Idempotent phase commit: skip when _SUCCESS already present (resume)."""
     if not force and os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -164,6 +188,7 @@ def build_index(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     sort_partitions: int | None = None,
     force: bool = False,
+    dedupe: bool = True,
 ) -> dict:
     """Full index build; returns the build metrics dict (also persisted).
 
@@ -185,6 +210,8 @@ def build_index(
     m = phase("extract")
     if sort_partitions is None:
         sort_partitions = max(spark.sparkContext.defaultParallelism, 4)
+    if dedupe and "html" in pages.columns:
+        pages = dedupe_pages(pages)
     m["ran"] = _write_once(extract_docs(pages), raw_path, force=force)
     m["finished"] = time.time() - t_start
 
@@ -227,6 +254,18 @@ def build_index(
                 return table.drop_columns(["pid"])
             order = pc.sort_indices(table, sort_keys=[("url", "ascending")])
             table = table.take(order)
+            # docids are 1:1 with urls by contract (dedupe_pages upstream);
+            # a violation here would silently corrupt df/stats, so fail loud.
+            # Range partitioning puts equal urls in one partition, so the
+            # adjacent check within the sorted partition is complete.
+            u = table.column("url").combine_chunks()
+            if table.num_rows > 1:
+                dup = pc.any(pc.equal(u.slice(1), u.slice(0, len(u) - 1)))
+                if dup.as_py():
+                    raise ValueError(
+                        "duplicate url reached docid assignment; pass a "
+                        "url-unique pages table or build with dedupe=True"
+                    )
             base = offsets[table.column("pid")[0].as_py()]
             doc_id = base + np.arange(table.num_rows, dtype=np.int64)
             shard = (doc_id // shard_size).astype(np.int32)
@@ -256,10 +295,19 @@ def build_index(
     m["finished"] = time.time() - t_start
 
     ids_df = spark.read.parquet(ids_path)
-    # broadcast the ids table while it comfortably fits executor memory;
-    # beyond that the join degrades gracefully to AQE sort-merge.
-    if total_docs <= 20_000_000:
+    # Broadcast the ids table while it comfortably fits executor memory —
+    # decided by on-disk bytes (x4 decompression headroom), not row count:
+    # a 20M-row url table is multi-GB in memory. Beyond the cap the join
+    # degrades gracefully to AQE sort-merge.
+    ids_bytes = sum(
+        e.stat().st_size for e in os.scandir(ids_path)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    ids_broadcast = ids_bytes * 4 <= 512 * 1024 * 1024
+    if ids_broadcast:
         ids_df = F.broadcast(ids_df)
+    m["ids_parquet_bytes"] = ids_bytes
+    m["ids_broadcast"] = ids_broadcast
     docs = stage.join(ids_df, "url")
 
     # --- Phase 3: doc_map + index_stats ---

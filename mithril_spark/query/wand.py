@@ -205,7 +205,11 @@ def bm25_wand_topk(
             if block_acc > threshold():
                 body_len = body_lens.get(pivot_doc, 0)
                 score = 0.0
-                for c in aligned:
+                # canonical summation order (term name): float addition is
+                # not associative, so every path — WAND, exhaustive, tests —
+                # must add per-term scores in the same order for the
+                # "provably identical" claim to hold bit-exactly
+                for c in sorted(aligned, key=lambda c: c.term):
                     score += c.score_current(body_len)
                 item = (score, -pivot_doc)
                 if len(heap) < k:
@@ -237,7 +241,8 @@ def bm25_exhaustive_topk(
     from ..codec import decode_posting_block
 
     scores: dict[int, float] = {}
-    for _term, blocks in term_blocks.items():
+    # same canonical term order as bm25_wand_topk's aligned-scoring loop
+    for _term, blocks in sorted(term_blocks.items()):
         df = sum(b["doc_count"] for b in blocks)
         for blk in blocks:
             docs, freqs = decode_posting_block(

@@ -444,7 +444,7 @@ FROM (
         FROM documents)
   GROUP BY doc_id, lang
 )
-WHERE n_tokens >= 20 AND (n_stop * 100) / n_tokens <= 60
+WHERE n_tokens >= 20 AND FLOOR((n_stop * 100) / n_tokens) <= 60
 """
 
 
@@ -629,9 +629,9 @@ hashed AS (
 ),
 sig AS (SELECT doc_id, h, MIN(v) AS mh FROM hashed GROUP BY doc_id, h),
 band_sig AS (
-  SELECT doc_id, CAST(h / {LSH_BANDS} AS INT) AS band,
+  SELECT doc_id, CAST(FLOOR(h / {LSH_BANDS}) AS INT) AS band,
          md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || '=' || mh)), ',')) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(h / {LSH_BANDS} AS INT)
+  FROM sig GROUP BY doc_id, CAST(FLOOR(h / {LSH_BANDS}) AS INT)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

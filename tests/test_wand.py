@@ -90,7 +90,7 @@ def test_engine_bm25_topk(spark, tmp_path_factory):
         want = []
         for shard in oracle.shards:
             scores: dict[int, float] = {}
-            for term in terms:
+            for term in sorted(terms):  # canonical order, matches wand.py
                 entry = shard.postings.get(term)
                 if not entry:
                     continue
