@@ -23,8 +23,13 @@ Plan shape per query (designed so the bulk of the index never moves):
 4. per-shard top-50s (a few rows) come back for the coordinator merge.
 
 Head-term caveat: a stop-word-scale term's blocks would be large to collect;
-``max_payload_rows`` guards it — beyond the cap the engine falls back to the
-cogroup path where blocks flow executor-to-executor (never via the driver).
+``max_payload_rows`` guards it — the expected payload size is estimated from
+term_dict document frequencies (one tiny collect the query path needs anyway
+for ranking df), and beyond the cap the engine switches to the cogroup path:
+the pruned posting/position scans are grouped by shard and joined against
+the cached shard images executor-side, so head-term blocks flow
+executor-to-executor and never transit the driver (the Spark analog of the
+reference's per-shard mmap reads, index/src/TermReader.cpp:20-214).
 """
 
 from __future__ import annotations
@@ -78,10 +83,43 @@ def _pack_docmap(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _payload_from_pdf(pdf: pd.DataFrame) -> dict:
+    """One shard's cogrouped union-block rows -> the payload dict shape."""
+    payload: dict[str, list] = {"P": [], "X": []}
+    for row in pdf.itertuples(index=False):
+        if row.kind == "P":
+            mt = row.max_tfn
+            if mt is not None and mt != mt:  # NaN from the nullable union
+                mt = None
+            payload["P"].append(
+                (row.term, int(row.salt), int(row.block_id),
+                 int(row.doc_count), int(row.first_doc_id),
+                 int(row.last_doc_id), int(row.max_freq),
+                 None if mt is None else float(mt),
+                 bytes(row.doc_ids_enc), bytes(row.freqs_enc))
+            )
+        else:
+            payload["X"].append(
+                (row.term, int(row.salt), bytes(row.doc_ids_enc),
+                 bytes(row.flags_enc), bytes(row.pos_counts_enc),
+                 bytes(row.positions_enc))
+            )
+    return payload
+
+
+# Estimated posting entries above which query blocks stop being collected
+# to the driver and flow executor-side instead (cogroup path). ~1M entries
+# is a few thousand 128-doc blocks — tens of MB — comfortably collectable;
+# a head term at web scale blows far past it.
+DEFAULT_MAX_PAYLOAD_ROWS = 1_000_000
+
+
 class SearchEngine:
-    def __init__(self, spark, index_dir: str, cache_doc_map: bool = True):
+    def __init__(self, spark, index_dir: str, cache_doc_map: bool = True,
+                 max_payload_rows: int = DEFAULT_MAX_PAYLOAD_ROWS):
         self.spark = spark
         self.index_dir = index_dir
+        self.max_payload_rows = max_payload_rows
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             self.meta = json.load(f)
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -125,9 +163,12 @@ class SearchEngine:
             F.col("bucket").isin(buckets) & F.col("term").isin(sorted(terms))
         )
 
-    def _df_lookup(self, tokens) -> dict[tuple[str, int], int]:
-        """Ranking-token document frequencies per shard from term_dict."""
-        terms = {t for t, _ in tokens}
+    def _term_dfs(self, terms: set[str]) -> dict[tuple[str, int], int]:
+        """Per-shard document frequencies from term_dict (one small collect).
+
+        Serves double duty: ranking-token df (GetDocumentFrequencies,
+        Ranker.cpp:46-64) and the payload-size estimate that picks the
+        driver-collect vs cogroup execution path."""
         if not terms:
             return {}
         rows = self._bucket_filter(self.term_dict, terms).collect()
@@ -169,44 +210,131 @@ class SearchEngine:
             )
         return payload
 
+    def _blocks_df(self, posting_terms, position_terms):
+        """Pruned posting+position block scans as ONE union DataFrame keyed
+        by shard — the executor-side payload for the cogroup path."""
+        from pyspark.sql import functions as F
+
+        tfn_col = (
+            F.col("max_tfn").cast("double")
+            if "max_tfn" in self.postings.columns
+            else F.lit(None).cast("double")
+        ).alias("max_tfn")
+        null = lambda t: F.lit(None).cast(t)
+        p = self._bucket_filter(self.postings, posting_terms).select(
+            "shard", F.lit("P").alias("kind"), "term", "salt",
+            F.col("block_id").cast("long").alias("block_id"),
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("first_doc_id").cast("long").alias("first_doc_id"),
+            F.col("last_doc_id").cast("long").alias("last_doc_id"),
+            F.col("max_freq").cast("long").alias("max_freq"), tfn_col,
+            "doc_ids_enc", "freqs_enc",
+            null("binary").alias("flags_enc"),
+            null("binary").alias("pos_counts_enc"),
+            null("binary").alias("positions_enc"),
+        )
+        x = self._bucket_filter(self.positions, position_terms).select(
+            "shard", F.lit("X").alias("kind"), "term", "salt",
+            null("long").alias("block_id"), null("long").alias("doc_count"),
+            null("long").alias("first_doc_id"), null("long").alias("last_doc_id"),
+            null("long").alias("max_freq"), null("double").alias("max_tfn"),
+            "doc_ids_enc", null("binary").alias("freqs_enc"),
+            "flags_enc", "pos_counts_enc", "positions_enc",
+        )
+        return p.unionByName(x)
+
+    def _execute(self, posting_terms, position_terms, shard_fn, schema,
+                 dfs: dict[tuple[str, int], int] | None = None) -> list:
+        """Run ``shard_fn(shard_id, payload, docmap_bytes) -> pd.DataFrame``
+        once per shard and collect the (small) per-shard results.
+
+        Path choice (the ``max_payload_rows`` guard): total df over the
+        needed terms estimates the payload's posting entries. At or below
+        the cap, blocks are collected to the driver and shipped in the task
+        closure (one job, no extra shuffle). Above it, blocks never touch
+        the driver: the pruned scans are cogrouped with the cached shard
+        images by shard and decoded executor-side — the shuffle moves only
+        the query's own blocks, and the image side's exchange is elided
+        because shard_images is already hash-partitioned by shard."""
+        col_names = [c.strip().split()[0] for c in schema.split(",")]
+
+        def _empty():
+            return pd.DataFrame({c: [] for c in col_names})
+
+        need = set(posting_terms) | set(position_terms)
+        if dfs is None:
+            dfs = self._term_dfs(need)
+        est = sum(df for (t, _s), df in dfs.items() if t in need)
+
+        if est <= self.max_payload_rows:
+            payload = self._collect_payload(posting_terms, position_terms)
+
+            def run(batches):
+                outs = []
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        sid = int(row.shard)
+                        outs.append(shard_fn(sid, payload.get(sid), row.docmap))
+                yield pd.concat(outs, ignore_index=True) if outs else _empty()
+
+            return self.shard_images.mapInPandas(run, schema).collect()
+
+        blocks = self._blocks_df(posting_terms, position_terms)
+
+        def run_co(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return _empty()
+            payload = _payload_from_pdf(right)
+            outs = [
+                shard_fn(int(row.shard), payload, row.docmap)
+                for row in left.itertuples(index=False)
+            ]
+            return pd.concat(outs, ignore_index=True) if outs else _empty()
+
+        return (
+            self.shard_images.groupBy("shard")
+            .cogroup(blocks.groupBy("shard"))
+            .applyInPandas(run_co, schema)
+            .collect()
+        )
+
     # --- query API ---
 
     def top_k(self, query: str) -> list[tuple[int, int, bytes, list[bytes]]]:
         """Merged top-50 of (global_doc_id, score, url, title_words)."""
         posting_terms, position_terms, tokens = plan_terms(query)
-        payload = self._collect_payload(posting_terms, position_terms)
-        df_map = self._df_lookup(tokens)
+        token_terms = {t for t, _ in tokens}
+        dfs = self._term_dfs(posting_terms | position_terms | token_terms)
+        df_map = {k: v for k, v in dfs.items() if k[0] in token_terms}
         stats = self.stats
         shard_size = self.meta["shard_size"]
         qstr = query
 
-        def run_shards(batches):
+        def shard_fn(shard_id, payload, docmap_bytes):
             from .codec import pack_words
 
-            for pdf in batches:
-                out = {"shard": [], "doc_id": [], "score": [],
-                       "url": [], "title_packed": []}
-                for row in pdf.itertuples(index=False):
-                    shard_id = int(row.shard)
-                    st = stats.get(shard_id)
-                    if st is None:
-                        continue
-                    shard = _build_shard(
-                        shard_id, shard_size, st,
-                        payload.get(shard_id), pickle.loads(row.docmap), df_map,
-                    )
-                    matches = evaluate_query(qstr, shard)
-                    for d, s, u, t in handle_ranking(qstr, shard, matches):
-                        out["shard"].append(shard_id)
-                        out["doc_id"].append(d + shard.base_doc_id)
-                        out["score"].append(s)
-                        out["url"].append(u)
-                        out["title_packed"].append(pack_words(t))
-                yield pd.DataFrame(out)
+            out = {"shard": [], "doc_id": [], "score": [],
+                   "url": [], "title_packed": []}
+            st = stats.get(shard_id)
+            if st is not None:
+                shard = _build_shard(
+                    shard_id, shard_size, st,
+                    payload, pickle.loads(docmap_bytes), df_map,
+                )
+                matches = evaluate_query(qstr, shard)
+                for d, s, u, t in handle_ranking(qstr, shard, matches):
+                    out["shard"].append(shard_id)
+                    out["doc_id"].append(d + shard.base_doc_id)
+                    out["score"].append(s)
+                    out["url"].append(u)
+                    out["title_packed"].append(pack_words(t))
+            return pd.DataFrame(out)
 
         from .codec import unpack_words
 
-        rows = self.shard_images.mapInPandas(run_shards, RESULT_SCHEMA).collect()
+        rows = self._execute(
+            posting_terms, position_terms, shard_fn, RESULT_SCHEMA, dfs=dfs
+        )
         by_shard: dict[int, list] = {}
         for r in rows:
             by_shard.setdefault(int(r["shard"]), []).append(
@@ -233,44 +361,38 @@ class SearchEngine:
         } - {""}
         if not terms:
             return []
-        payload = self._collect_payload(terms, set())
         stats = self.stats
         shard_size = self.meta["shard_size"]
 
-        def run_shards(batches):
+        def shard_fn(shard_id, pl, docmap_bytes):
             from .query.wand import bm25_wand_topk
 
-            for pdf in batches:
-                shards_out, docs_out, scores_out = [], [], []
-                for row in pdf.itertuples(index=False):
-                    shard_id = int(row.shard)
-                    st = stats.get(shard_id)
-                    pl = payload.get(shard_id)
-                    if st is None or not pl or not pl["P"]:
-                        continue
-                    docmap = pickle.loads(row.docmap)
-                    base = shard_id * shard_size
-                    body_lens = {
-                        doc_id - base: meta[2] for doc_id, meta in docmap.items()
-                    }
-                    term_blocks = _payload_blocks(pl["P"])
-                    avg = (
-                        st["total_body"] / st["doc_count"]
-                        if st["doc_count"] else 0.0
-                    )
-                    for d, s in bm25_wand_topk(
-                        term_blocks, body_lens, st["doc_count"], avg, k
-                    ):
-                        shards_out.append(shard_id)
-                        docs_out.append(d + base)
-                        scores_out.append(s)
-                yield pd.DataFrame(
-                    {"shard": shards_out, "doc_id": docs_out, "score": scores_out}
+            shards_out, docs_out, scores_out = [], [], []
+            st = stats.get(shard_id)
+            if st is not None and pl and pl["P"]:
+                docmap = pickle.loads(docmap_bytes)
+                base = shard_id * shard_size
+                body_lens = {
+                    doc_id - base: meta[2] for doc_id, meta in docmap.items()
+                }
+                term_blocks = _payload_blocks(pl["P"])
+                avg = (
+                    st["total_body"] / st["doc_count"]
+                    if st["doc_count"] else 0.0
                 )
+                for d, s in bm25_wand_topk(
+                    term_blocks, body_lens, st["doc_count"], avg, k
+                ):
+                    shards_out.append(shard_id)
+                    docs_out.append(d + base)
+                    scores_out.append(s)
+            return pd.DataFrame(
+                {"shard": shards_out, "doc_id": docs_out, "score": scores_out}
+            )
 
-        rows = self.shard_images.mapInPandas(
-            run_shards, "shard int, doc_id long, score double"
-        ).collect()
+        rows = self._execute(
+            terms, set(), shard_fn, "shard int, doc_id long, score double"
+        )
         merged = sorted(
             ((int(r["doc_id"]), float(r["score"])) for r in rows),
             key=lambda t: (-t[1], t[0]),
@@ -280,29 +402,24 @@ class SearchEngine:
     def matches(self, query: str) -> list[int]:
         """Global ascending matched docids (diagnostic / tests)."""
         posting_terms, position_terms, _ = plan_terms(query)
-        payload = self._collect_payload(posting_terms, position_terms)
         stats = self.stats
         shard_size = self.meta["shard_size"]
         qstr = query
 
-        def run_shards(batches):
-            for pdf in batches:
-                out: list[int] = []
-                for row in pdf.itertuples(index=False):
-                    shard_id = int(row.shard)
-                    st = stats.get(shard_id)
-                    if st is None:
-                        continue
-                    shard = _build_shard(
-                        shard_id, shard_size, st,
-                        payload.get(shard_id), pickle.loads(row.docmap), {},
-                    )
-                    out.extend(
-                        m + shard.base_doc_id for m in evaluate_query(qstr, shard)
-                    )
-                yield pd.DataFrame({"doc_id": out})
+        def shard_fn(shard_id, payload, docmap_bytes):
+            out: list[int] = []
+            st = stats.get(shard_id)
+            if st is not None:
+                shard = _build_shard(
+                    shard_id, shard_size, st,
+                    payload, pickle.loads(docmap_bytes), {},
+                )
+                out.extend(
+                    m + shard.base_doc_id for m in evaluate_query(qstr, shard)
+                )
+            return pd.DataFrame({"doc_id": out})
 
-        rows = self.shard_images.mapInPandas(run_shards, "doc_id long").collect()
+        rows = self._execute(posting_terms, position_terms, shard_fn, "doc_id long")
         return sorted(int(r["doc_id"]) for r in rows)
 
 

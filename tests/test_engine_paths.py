@@ -1,0 +1,61 @@
+"""Executor-side (cogroup) query payload path == driver-collect path.
+
+VERDICT r01 #1: with ``max_payload_rows=0`` every query is forced onto the
+cogroup path where posting/position blocks never transit the driver; rank
+identity with the oracle must hold on the full fixture query set at 1/2/3
+shards, and the WAND + matches APIs must agree with the driver path.
+"""
+
+import shutil
+
+import pytest
+
+from mithril_spark.fixtures import QUERY_SET, generate_pages, pages_to_df
+from mithril_spark.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(150, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle_pages(corpus):
+    return [(r["url"].encode(), r["html"]) for r in corpus]
+
+
+def _index(spark, corpus, tmp_path_factory, shards):
+    from mithril_spark.indexer import build_index
+
+    path = str(tmp_path_factory.mktemp(f"cog{shards}") / "i")
+    shutil.rmtree(path, ignore_errors=True)
+    build_index(pages_to_df(spark, corpus), path, num_shards=shards)
+    return path
+
+
+@pytest.mark.parametrize("shards", [1, 2, 3])
+def test_cogroup_path_rank_identity(spark, corpus, oracle_pages,
+                                    tmp_path_factory, shards):
+    from mithril_spark.engine import SearchEngine
+
+    path = _index(spark, corpus, tmp_path_factory, shards)
+    engine = SearchEngine(spark, path, max_payload_rows=0)  # force cogroup
+    oracle = OracleIndex.build(oracle_pages, num_shards=shards)
+    for q in QUERY_SET:
+        assert engine.top_k(q) == oracle.top_k(q), (shards, q)
+
+
+def test_cogroup_matches_and_wand_agree_with_driver_path(
+    spark, corpus, oracle_pages, tmp_path_factory
+):
+    from mithril_spark.engine import SearchEngine
+
+    path = _index(spark, corpus, tmp_path_factory, 2)
+    co = SearchEngine(spark, path, max_payload_rows=0)
+    drv = SearchEngine(spark, path)  # default cap -> driver collect
+    for q in ["search engine", "granite OR marble", "index NOT (spark OR engine)",
+              '"search engine"', "thermite"]:
+        assert co.matches(q) == drv.matches(q), q
+    for q, k in [("search engine", 10), ("granite quartz marble", 5),
+                 ("the and of", 5)]:
+        assert co.bm25_topk(q, k=k) == drv.bm25_topk(q, k=k), q
