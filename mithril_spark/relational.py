@@ -522,22 +522,50 @@ _SHINGLES_SQL = """
 """
 
 
+JACCARD_SHINGLE_DF_CAP = 1000
+
+
 def q_dedup_jaccard(spark, sf):
-    """Word-3-gram Jaccard near-dup pairs (blocked self-join, >= 0.8)."""
+    """Word-3-gram Jaccard near-dup pairs (>= 0.8), hot-shingle-capped.
+
+    r01 VERDICT #7: candidate generation self-joins only shingles with
+    df <= 1000 — a ubiquitous shingle would otherwise produce a quadratic
+    bucket. Verification recounts the TRUE intersection over all shingles,
+    so (inter, uni) stay exact. Recall bound: a pair is missed only if
+    every one of its shared shingles is hot; a jaccard >= 0.8 pair shares
+    >= 0.8/1.8 * (|A|+|B|) of its shingles, so a miss requires the whole
+    overlap to be corpus-wide boilerplate — such pairs surface via exact /
+    minhash dedup instead. The oracle SQL applies the identical cap.
+    """
     sh = _shingles(spark, sf).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
+    hot = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    # the hot list is tiny by construction (each entry burned >CAP rows)
+    rare = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ash = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    bsh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ash, "doc_a").join(bsh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .filter(F.col("inter") * 10 >= F.col("uni") * 8)  # jaccard >= 0.8
         .select("doc_a", "doc_b", "inter", "uni")
@@ -546,17 +574,28 @@ def q_dedup_jaccard(spark, sf):
 
 Q_DEDUP_JACCARD_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) > {JACCARD_SHINGLE_DF_CAP}
+),
+rare AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
-SELECT doc_a, doc_b, inter, (sa.sz + sb.sz - inter) AS uni
-FROM pairs
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter * 10 >= (sa.sz + sb.sz - inter) * 8
+SELECT i.doc_a, i.doc_b, i.inter, (sa.sz + sb.sz - i.inter) AS uni
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 8
 """
 
 
@@ -572,26 +611,34 @@ def q_dedup_minhash_lsh(spark, sf):
     pipeline; candidates per band bucket only.
     """
     sh = _shingles(spark, sf).cache()
-    # minhash i = min over shingles of md5(i || ':' || shingle)
-    hashed = sh.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-                lambda i: F.struct(
-                    i.alias("h"),
-                    F.md5(F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))).alias("v"),
-                ),
-            )
-        ).alias("hv"),
-    ).select("doc_id", F.col("hv.h").alias("h"), F.col("hv.v").alias("v"))
-    sig = hashed.groupBy("doc_id", "h").agg(F.min("v").alias("mh"))
-    band = sig.withColumn("band", (F.col("h") / LSH_BANDS).cast("int"))
+    # Single-pass signatures: one groupBy(doc_id) computing all 16 mins as
+    # columns — no 16x explode before the shuffle (r01 plan audit: the
+    # explode multiplied the shingle table x16; partial aggregation now
+    # collapses each map partition to one 16-column row per doc).
+    # minhash i = min over shingles of md5(i || ':' || shingle).
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ])
+    # band_hash must stay byte-identical to the oracle's (md5 of the
+    # lexicographically sorted "h=minhash" strings joined by ',')
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_structs = []
+    for b in range(LSH_BANDS):
+        elems = [
+            F.concat(F.lit(f"{h}="), F.col(f"mh{h}"))
+            for h in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", F.array_sort(F.array(*elems)))).alias("band_hash"),
+        ))
     band_sig = (
-        band.groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat(F.col("h").cast("string"), F.lit("="), F.col("mh"))
-        )))).alias("band_hash"))
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.band_hash").alias("band_hash"))
     )
     a = band_sig.alias("a")
     b = band_sig.alias("b")
@@ -613,8 +660,10 @@ def q_dedup_minhash_lsh(spark, sf):
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # sizes is one row per doc — not broadcastable at corpus scale; the
+    # inter side is tiny (verified candidates), so AQE broadcasts THAT.
     return (
-        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .filter(F.col("inter") * 2 >= F.col("uni"))
         .select("doc_a", "doc_b", "inter", "uni")
@@ -655,38 +704,63 @@ WHERE i.inter * 2 >= (sa.sz + sb.sz - i.inter)
 
 
 def q_dedup_simhash(spark, sf):
-    """60-bit SimHash near-dup pairs (hamming distance <= 8).
+    """120-bit SimHash near-dup pairs (hamming distance <= 8).
 
-    Token hash = top 15 hex chars of md5 (60 bits, fits int64 exactly in
-    both engines); per-bit majority vote; pairwise bit_count(xor).
+    r01 VERDICT #4 redesign for scale:
+    * sketch widened from 60 to 120 bits — two int64 halves from md5 hex
+      chars 1-15 / 16-30 (60 bits each, exact in both engines);
+    * per-bit majority votes are 120 conditional-SUM columns in ONE
+      groupBy(doc_id) with map-side partial aggregation — the previous plan
+      exploded 60 rows per token before combining;
+    * pigeonhole banding: 9 disjoint bands (4 x 15 bits on half 1,
+      5 x 12 bits on half 2); <= 8 differing bits leave >= 1 band identical,
+      and the smallest band now has 4096 values (vs 128), so the candidate
+      join is O(n^2/4096) worst case instead of /128.
     """
     d = _t(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
-    hashed = toks.withColumn(
-        "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
-    )
-    bits = hashed.select(
+    hashed = toks.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
-        "h",
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1),
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("t"), 16, 15), 16, 10).cast("long").alias("h2"),
     )
-    votes = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
-    sim = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    aggs = [F.count("*").alias("n")]
+    for half in (1, 2):
+        for b in range(60):
+            aggs.append(
+                F.sum(
+                    F.shiftright(F.col(f"h{half}"), b).bitwiseAND(F.lit(1))
+                ).alias(f"c{half}_{b}")
+            )
+    votes = hashed.groupBy("doc_id").agg(*aggs)
+
+    def _sim(half):
+        # bit set iff vote sum(+-1) > 0  <=>  2 * ones_count > n_tokens
+        expr = F.lit(0).cast("long")
+        for b in range(60):
+            expr = expr + F.when(
+                F.col(f"c{half}_{b}") * 2 > F.col("n"), F.lit(1 << b)
+            ).otherwise(F.lit(0).cast("long"))
+        return expr
+
+    sim = votes.select("doc_id", _sim(1).alias("sim1"), _sim(2).alias("sim2"))
+    band_structs = []
+    for i in range(4):  # half 1: 4 bands x 15 bits
+        band_structs.append(F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("sim1"), i * 15).bitwiseAND(F.lit(32767)).alias("band_val"),
+        ))
+    for j in range(5):  # half 2: 5 bands x 12 bits
+        band_structs.append(F.struct(
+            F.lit(4 + j).alias("band"),
+            F.shiftright(F.col("sim2"), j * 12).bitwiseAND(F.lit(4095)).alias("band_val"),
+        ))
+    bands = (
+        sim.select("doc_id", "sim1", "sim2",
+                   F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", "sim1", "sim2",
+                F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
     )
-    # Pigeonhole banding: 9 bands of 7 bits cover the 60-bit simhash, so any
-    # pair within hamming distance 8 shares at least one identical band —
-    # candidates come from an equality join on (band, band_value) instead of
-    # a cross join (this is what survives a 100x scale-up).
-    bands = sim.select(
-        "doc_id", "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("band"),
-    ).withColumn("band_val", F.expr("(simhash >> (band * 7)) & 127"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -695,13 +769,16 @@ def q_dedup_simhash(spark, sf):
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"),
+            F.col("a.sim1").alias("s1a"), F.col("a.sim2").alias("s2a"),
+            F.col("b.sim1").alias("s1b"), F.col("b.sim2").alias("s2b"),
         )
         .distinct()
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            "hamming",
+            F.bit_count(F.col("s1a").bitwiseXOR(F.col("s1b")))
+            + F.bit_count(F.col("s2a").bitwiseXOR(F.col("s2b"))),
         )
         .filter(F.col("hamming") <= 8)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
@@ -711,32 +788,38 @@ def q_dedup_simhash(spark, sf):
 Q_DEDUP_SIMHASH_SQL = """
 WITH hashed AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(t), 16, 15)) AS BIGINT) AS h2
   FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
 ),
 bits AS (
   SELECT doc_id, b,
-         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         SUM(CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+         SUM(CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v2
   FROM hashed, LATERAL (SELECT unnest(range(0, 60)) AS b)
   GROUP BY doc_id, b
 ),
 sim AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         CAST(SUM(CASE WHEN v1 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim1,
+         CAST(SUM(CASE WHEN v2 > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim2
   FROM bits GROUP BY doc_id
-)
-, bands AS (
-  SELECT doc_id, simhash, band, (simhash >> (band * 7)) & 127 AS band_val
+),
+bands AS (
+  SELECT doc_id, sim1, sim2, band,
+         CASE WHEN band < 4 THEN (sim1 >> (band * 15)) & 32767
+              ELSE (sim2 >> ((band - 4) * 12)) & 4095 END AS band_val
   FROM sim, LATERAL (SELECT unnest(range(0, 9)) AS band)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sim_a, b.simhash AS sim_b
+         a.sim1 AS s1a, a.sim2 AS s2a, b.sim1 AS s1b, b.sim2 AS s2b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) <= 8
 """
 
 # --------------------------------------------------------------------------
