@@ -23,19 +23,20 @@ def entry(spark: SparkSession) -> DataFrame:
     from mithril_spark.fixtures import generate_pages, pages_to_df
     from mithril_spark.indexer import build_index
 
-    index_dir = "/tmp/mithril_entry_index"
+    # versioned: older rounds' cached dirs have a different stage schema
+    index_dir = "/tmp/mithril_entry_index_r2"
     if not os.path.exists(os.path.join(index_dir, "index_meta.json")):
         pages = pages_to_df(spark, generate_pages(120, seed=42))
-        build_index(pages, index_dir, num_shards=2)
+        build_index(pages, index_dir, num_shards=2, pagerank=True)
     engine = SearchEngine(spark, index_dir)
-    results = engine.top_k("search engine")
+    results = engine.top_k_with_snippets("search engine")
     return spark.createDataFrame(
         [
             (int(doc_id), int(score), url.decode("utf-8", "replace"),
-             b" ".join(title).decode("utf-8", "replace"))
-            for doc_id, score, url, title in results
+             b" ".join(title).decode("utf-8", "replace"), snippet)
+            for doc_id, score, url, title, snippet in results
         ],
-        schema="doc_id long, score long, url string, title string",
+        schema="doc_id long, score long, url string, title string, snippet string",
     )
 
 

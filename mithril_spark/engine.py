@@ -11,11 +11,11 @@ also precisely what Spark's TakeOrderedAndProject computes).
 Plan shape per query (designed so the bulk of the index never moves):
 1. driver: parse the query -> the handful of needed terms (ISR terms, raw
    quote/phrase terms, ranking tokens + their %desc variants);
-2. pruned scans: postings/positions filtered by ``bucket`` partition and
-   ``term`` predicate (partition pruning + parquet min/max skipping — the
-   Spark analog of the reference's dictionary seek) are *collected to the
-   driver* — a few posting blocks per query term — and shipped to executors
-   in the task closure (a broadcast of query-term slices, SURVEY.md §1.4);
+2. ONE pruned-scan job: postings + positions + term_dict rows for those
+   terms (``bucket`` partition pruning + parquet min/max skipping — the
+   Spark analog of the reference's dictionary seek) are unioned, collected
+   to the driver under a row cap, and shipped to executors in the task
+   closure (a broadcast of query-term slices, SURVEY.md §1.4);
 3. the doc map is packed once into per-shard binary images cached in the
    block manager (the analog of the reference's mmap+mlock'd per-shard doc
    map, DocumentMapReader.cpp:15-100); each query is then ONE shuffle-free
@@ -23,13 +23,18 @@ Plan shape per query (designed so the bulk of the index never moves):
 4. per-shard top-50s (a few rows) come back for the coordinator merge.
 
 Head-term caveat: a stop-word-scale term's blocks would be large to collect;
-``max_payload_rows`` guards it — the expected payload size is estimated from
-term_dict document frequencies (one tiny collect the query path needs anyway
-for ranking df), and beyond the cap the engine switches to the cogroup path:
-the pruned posting/position scans are grouped by shard and joined against
-the cached shard images executor-side, so head-term blocks flow
-executor-to-executor and never transit the driver (the Spark analog of the
-reference's per-shard mmap reads, index/src/TermReader.cpp:20-214).
+the step-2 collect carries ``LIMIT cap+1``, so an oversized payload is
+detected by row count without ever materializing it driver-side, and the
+engine switches to the cogroup path: the same pruned union is grouped by
+shard and joined against the cached shard images executor-side, so
+head-term blocks flow executor-to-executor and never transit the driver
+(the Spark analog of the reference's per-shard mmap reads,
+index/src/TermReader.cpp:20-214). ``max_payload_rows=0`` forces cogroup.
+
+Throughput: ``top_k_many`` answers a batch of queries with the same two
+jobs (one union collect for all their terms, one pass over the shard
+images evaluating every query) — the Spark analog of the reference
+coordinator multiplexing concurrent queries over resident shards.
 """
 
 from __future__ import annotations
@@ -70,6 +75,7 @@ def plan_terms(query: str) -> tuple[set[str], set[str], list]:
 
 def _pack_docmap(pdf: pd.DataFrame) -> pd.DataFrame:
     shard = int(pdf["shard"].iloc[0])
+    has_srank = "static_rank" in pdf.columns  # absent in pre-r2 indexes
     entries = {}
     for row in pdf.itertuples(index=False):
         entries[int(row.doc_id)] = (
@@ -77,6 +83,7 @@ def _pack_docmap(pdf: pd.DataFrame) -> pd.DataFrame:
             [bytes(t) for t in row.title],
             int(row.body_len), int(row.title_len),
             int(row.url_len), int(row.desc_len), float(row.pagerank),
+            float(row.static_rank) if has_srank else None,
         )
     return pd.DataFrame(
         {"shard": [shard], "docmap": [pickle.dumps(entries, protocol=4)]}
@@ -84,8 +91,8 @@ def _pack_docmap(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _payload_from_pdf(pdf: pd.DataFrame) -> dict:
-    """One shard's cogrouped union-block rows -> the payload dict shape."""
-    payload: dict[str, list] = {"P": [], "X": []}
+    """One shard's cogrouped union rows -> the payload dict shape."""
+    payload: dict[str, list] = {"P": [], "X": [], "D": []}
     for row in pdf.itertuples(index=False):
         if row.kind == "P":
             mt = row.max_tfn
@@ -98,12 +105,14 @@ def _payload_from_pdf(pdf: pd.DataFrame) -> dict:
                  None if mt is None else float(mt),
                  bytes(row.doc_ids_enc), bytes(row.freqs_enc))
             )
-        else:
+        elif row.kind == "X":
             payload["X"].append(
                 (row.term, int(row.salt), bytes(row.doc_ids_enc),
                  bytes(row.flags_enc), bytes(row.pos_counts_enc),
                  bytes(row.positions_enc))
             )
+        else:  # "D": term_dict df row
+            payload["D"].append((row.term, int(row.doc_count)))
     return payload
 
 
@@ -116,27 +125,48 @@ DEFAULT_MAX_PAYLOAD_ROWS = 1_000_000
 
 class SearchEngine:
     def __init__(self, spark, index_dir: str, cache_doc_map: bool = True,
-                 max_payload_rows: int = DEFAULT_MAX_PAYLOAD_ROWS):
+                 max_payload_rows: int = DEFAULT_MAX_PAYLOAD_ROWS,
+                 cache_partitions: int | None = None,
+                 pagerank_weight: float = 0.0):
         self.spark = spark
         self.index_dir = index_dir
         self.max_payload_rows = max_payload_rows
+        self.pagerank_weight = pagerank_weight
+        # one-pass LIMIT: the per-query payload collect uses LIMIT cap+1 as
+        # its size guard; default CollectLimit tries 1 partition then grows
+        # (several sequential sub-jobs, ~3x query latency) — run all
+        # partitions in one pass instead (driver receives at most
+        # cap+1 rows per task, bounded).
+        spark.conf.set("spark.sql.limit.initialNumPartitions", "10000")
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             self.meta = json.load(f)
+        if cache_partitions is None:
+            # serving-tuned: a query touches a handful of terms, so scan
+            # latency is task-scheduling-bound, not IO-bound — keep the
+            # cached tables in few partitions (task setup is ~10 ms each)
+            par = spark.sparkContext.defaultParallelism
+            cache_partitions = max(4, min(16, par // 4))
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.positions = spark.read.parquet(os.path.join(index_dir, "positions"))
         self.term_dict = spark.read.parquet(os.path.join(index_dir, "term_dict"))
         if cache_doc_map:
             # lazy block-manager caching: only bucket partitions a query
             # actually scans get cached — a hot-term cache, not a full load
-            self.postings = self.postings.cache()
-            self.positions = self.positions.cache()
-            self.term_dict = self.term_dict.cache()
+            self.postings = self.postings.coalesce(cache_partitions).cache()
+            self.positions = self.positions.coalesce(cache_partitions).cache()
+            self.term_dict = self.term_dict.coalesce(
+                max(2, cache_partitions // 2)).cache()
         doc_map = spark.read.parquet(os.path.join(index_dir, "doc_map"))
         self.shard_images = doc_map.groupBy("shard").applyInPandas(
             _pack_docmap, schema="shard int, docmap binary"
         )
         if cache_doc_map:
-            self.shard_images = self.shard_images.persist()
+            # one image row per shard: drop the empty shuffle partitions so
+            # a query job schedules num_shards tasks, not shuffle-partitions
+            self.shard_images = self.shard_images.coalesce(
+                max(1, min(int(self.meta["num_shards"]),
+                           spark.sparkContext.defaultParallelism))
+            ).persist()
             self.shard_images.count()  # materialize the shard images once
         self.stats = {
             int(r["shard"]): {
@@ -163,56 +193,10 @@ class SearchEngine:
             F.col("bucket").isin(buckets) & F.col("term").isin(sorted(terms))
         )
 
-    def _term_dfs(self, terms: set[str]) -> dict[tuple[str, int], int]:
-        """Per-shard document frequencies from term_dict (one small collect).
-
-        Serves double duty: ranking-token df (GetDocumentFrequencies,
-        Ranker.cpp:46-64) and the payload-size estimate that picks the
-        driver-collect vs cogroup execution path."""
-        if not terms:
-            return {}
-        rows = self._bucket_filter(self.term_dict, terms).collect()
-        return {(r["term"], int(r["shard"])): int(r["df"]) for r in rows}
-
-    def _collect_payload(self, posting_terms, position_terms):
-        """Driver-side collect of the query's (small) posting/position blocks."""
-        payload: dict[int, dict[str, list]] = {}
-        from pyspark.sql import functions as F
-
-        # max_tfn is absent from indexes built before the tight block-max
-        # metadata existed; WAND then falls back to the loose max_freq bound.
-        tfn_col = (
-            F.col("max_tfn") if "max_tfn" in self.postings.columns
-            else F.lit(None).cast("double").alias("max_tfn")
-        )
-        prows = self._bucket_filter(self.postings, posting_terms).select(
-            "shard", "term", "salt", "block_id", "doc_count",
-            "first_doc_id", "last_doc_id", "max_freq", tfn_col,
-            "doc_ids_enc", "freqs_enc",
-        ).collect()
-        for r in prows:
-            payload.setdefault(int(r["shard"]), {"P": [], "X": []})["P"].append(
-                (r["term"], int(r["salt"]), int(r["block_id"]),
-                 int(r["doc_count"]), int(r["first_doc_id"]),
-                 int(r["last_doc_id"]), int(r["max_freq"]),
-                 None if r["max_tfn"] is None else float(r["max_tfn"]),
-                 bytes(r["doc_ids_enc"]), bytes(r["freqs_enc"]))
-            )
-        xrows = self._bucket_filter(self.positions, position_terms).select(
-            "shard", "term", "salt", "doc_ids_enc", "flags_enc",
-            "pos_counts_enc", "positions_enc",
-        ).collect()
-        for r in xrows:
-            payload.setdefault(int(r["shard"]), {"P": [], "X": []})["X"].append(
-                (r["term"], int(r["salt"]), bytes(r["doc_ids_enc"]),
-                 bytes(r["flags_enc"]), bytes(r["pos_counts_enc"]),
-                 bytes(r["positions_enc"]))
-            )
-        return payload
-
-    def _blocks_df(self, posting_terms, position_terms):
-        """Pruned posting+position block scans as ONE union DataFrame keyed
-        by shard — the executor-side payload for the cogroup path."""
+    def _blocks_df(self, posting_terms, position_terms, df_terms=frozenset()):
+        """Pruned posting+position+term_dict scans as ONE union DataFrame
+        keyed by shard — one collect job on the driver path, the
+        executor-side payload on the cogroup path."""
         from pyspark.sql import functions as F
 
         tfn_col = (
@@ -241,33 +225,76 @@ class SearchEngine:
             "doc_ids_enc", null("binary").alias("freqs_enc"),
             "flags_enc", "pos_counts_enc", "positions_enc",
         )
-        return p.unionByName(x)
+        u = p.unionByName(x)
+        if df_terms:
+            d = self._bucket_filter(self.term_dict, set(df_terms)).select(
+                "shard", F.lit("D").alias("kind"), "term",
+                F.lit(0).alias("salt"),
+                null("long").alias("block_id"),
+                F.col("df").cast("long").alias("doc_count"),
+                null("long").alias("first_doc_id"),
+                null("long").alias("last_doc_id"),
+                null("long").alias("max_freq"), null("double").alias("max_tfn"),
+                null("binary").alias("doc_ids_enc"),
+                null("binary").alias("freqs_enc"),
+                null("binary").alias("flags_enc"),
+                null("binary").alias("pos_counts_enc"),
+                null("binary").alias("positions_enc"),
+            )
+            u = u.unionByName(d)
+        return u
 
-    def _execute(self, posting_terms, position_terms, shard_fn, schema,
-                 dfs: dict[tuple[str, int], int] | None = None) -> list:
+    def _execute(self, posting_terms, position_terms, df_terms,
+                 shard_fn, schema) -> list:
         """Run ``shard_fn(shard_id, payload, docmap_bytes) -> pd.DataFrame``
         once per shard and collect the (small) per-shard results.
 
-        Path choice (the ``max_payload_rows`` guard): total df over the
-        needed terms estimates the payload's posting entries. At or below
-        the cap, blocks are collected to the driver and shipped in the task
-        closure (one job, no extra shuffle). Above it, blocks never touch
-        the driver: the pruned scans are cogrouped with the cached shard
-        images by shard and decoded executor-side — the shuffle moves only
-        the query's own blocks, and the image side's exchange is elided
-        because shard_images is already hash-partitioned by shard."""
+        Path choice (the ``max_payload_rows`` guard): the pruned union of
+        the query's posting/position blocks and term_dict df rows is
+        collected under ``LIMIT cap+1`` — one job, and an oversized payload
+        is detected by row count without materializing it driver-side. At
+        or below the cap, the payload ships in the task closure of a
+        shuffle-free pass over the cached shard images. Above it (or with
+        ``max_payload_rows=0``), blocks never touch the driver: the same
+        union is cogrouped with the shard images by shard and decoded
+        executor-side — the shuffle moves only the query's own blocks."""
         col_names = [c.strip().split()[0] for c in schema.split(",")]
 
         def _empty():
             return pd.DataFrame({c: [] for c in col_names})
 
-        need = set(posting_terms) | set(position_terms)
-        if dfs is None:
-            dfs = self._term_dfs(need)
-        est = sum(df for (t, _s), df in dfs.items() if t in need)
+        union_df = self._blocks_df(posting_terms, position_terms, df_terms)
+        rows = None
+        if self.max_payload_rows > 0:
+            # ~128 postings per block row -> row cap from the postings cap
+            cap = max(self.max_payload_rows // 128, 512)
+            limited = union_df.limit(cap + 1).collect()
+            if len(limited) <= cap:
+                rows = limited
 
-        if est <= self.max_payload_rows:
-            payload = self._collect_payload(posting_terms, position_terms)
+        if rows is not None:
+            payload: dict[int, dict[str, list]] = {}
+            for r in rows:
+                pl = payload.setdefault(
+                    int(r["shard"]), {"P": [], "X": [], "D": []}
+                )
+                kind = r["kind"]
+                if kind == "P":
+                    pl["P"].append(
+                        (r["term"], int(r["salt"]), int(r["block_id"]),
+                         int(r["doc_count"]), int(r["first_doc_id"]),
+                         int(r["last_doc_id"]), int(r["max_freq"]),
+                         None if r["max_tfn"] is None else float(r["max_tfn"]),
+                         bytes(r["doc_ids_enc"]), bytes(r["freqs_enc"]))
+                    )
+                elif kind == "X":
+                    pl["X"].append(
+                        (r["term"], int(r["salt"]), bytes(r["doc_ids_enc"]),
+                         bytes(r["flags_enc"]), bytes(r["pos_counts_enc"]),
+                         bytes(r["positions_enc"]))
+                    )
+                else:
+                    pl["D"].append((r["term"], int(r["doc_count"])))
 
             def run(batches):
                 outs = []
@@ -278,8 +305,6 @@ class SearchEngine:
                 yield pd.concat(outs, ignore_index=True) if outs else _empty()
 
             return self.shard_images.mapInPandas(run, schema).collect()
-
-        blocks = self._blocks_df(posting_terms, position_terms)
 
         def run_co(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if not len(left):
@@ -293,7 +318,7 @@ class SearchEngine:
 
         return (
             self.shard_images.groupBy("shard")
-            .cogroup(blocks.groupBy("shard"))
+            .cogroup(union_df.groupBy("shard"))
             .applyInPandas(run_co, schema)
             .collect()
         )
@@ -302,49 +327,74 @@ class SearchEngine:
 
     def top_k(self, query: str) -> list[tuple[int, int, bytes, list[bytes]]]:
         """Merged top-50 of (global_doc_id, score, url, title_words)."""
-        posting_terms, position_terms, tokens = plan_terms(query)
-        token_terms = {t for t, _ in tokens}
-        dfs = self._term_dfs(posting_terms | position_terms | token_terms)
-        df_map = {k: v for k, v in dfs.items() if k[0] in token_terms}
+        return self.top_k_many([query])[0]
+
+    def top_k_many(
+        self, queries: list[str]
+    ) -> list[list[tuple[int, int, bytes, list[bytes]]]]:
+        """Answer a batch of queries in the same two jobs as one query.
+
+        The union of every query's terms is fetched once, and one pass over
+        the cached shard images evaluates all queries per shard — the Spark
+        analog of the reference coordinator multiplexing concurrent queries
+        over resident shards (QueryCoordinator.cpp). A term payload that is
+        a superset of one query's terms cannot change its result: absent
+        terms read as empty posting lists either way.
+        """
+        plans = [plan_terms(q) for q in queries]
+        posting_terms: set[str] = set()
+        position_terms: set[str] = set()
+        token_terms: set[str] = set()
+        for pt, xt, tokens in plans:
+            posting_terms |= pt
+            position_terms |= xt
+            token_terms |= {t for t, _ in tokens}
         stats = self.stats
         shard_size = self.meta["shard_size"]
-        qstr = query
+        qlist = list(queries)
+        prw = self.pagerank_weight
 
         def shard_fn(shard_id, payload, docmap_bytes):
             from .codec import pack_words
 
-            out = {"shard": [], "doc_id": [], "score": [],
+            out = {"qidx": [], "shard": [], "doc_id": [], "score": [],
                    "url": [], "title_packed": []}
             st = stats.get(shard_id)
             if st is not None:
                 shard = _build_shard(
-                    shard_id, shard_size, st,
-                    payload, pickle.loads(docmap_bytes), df_map,
+                    shard_id, shard_size, st, payload,
+                    pickle.loads(docmap_bytes), pagerank_weight=prw,
                 )
-                matches = evaluate_query(qstr, shard)
-                for d, s, u, t in handle_ranking(qstr, shard, matches):
-                    out["shard"].append(shard_id)
-                    out["doc_id"].append(d + shard.base_doc_id)
-                    out["score"].append(s)
-                    out["url"].append(u)
-                    out["title_packed"].append(pack_words(t))
+                for qi, q in enumerate(qlist):
+                    matches = evaluate_query(q, shard)
+                    for d, s, u, t in handle_ranking(q, shard, matches):
+                        out["qidx"].append(qi)
+                        out["shard"].append(shard_id)
+                        out["doc_id"].append(d + shard.base_doc_id)
+                        out["score"].append(s)
+                        out["url"].append(u)
+                        out["title_packed"].append(pack_words(t))
             return pd.DataFrame(out)
 
         from .codec import unpack_words
 
         rows = self._execute(
-            posting_terms, position_terms, shard_fn, RESULT_SCHEMA, dfs=dfs
+            posting_terms, position_terms, token_terms, shard_fn,
+            "qidx int, " + RESULT_SCHEMA,
         )
-        by_shard: dict[int, list] = {}
+        per_query: list[dict[int, list]] = [dict() for _ in qlist]
         for r in rows:
-            by_shard.setdefault(int(r["shard"]), []).append(
+            per_query[int(r["qidx"])].setdefault(int(r["shard"]), []).append(
                 (int(r["doc_id"]), int(r["score"]), bytes(r["url"]),
                  unpack_words(bytes(r["title_packed"])))
             )
-        ordered_lists = [by_shard[s] for s in sorted(by_shard)]
-        if not ordered_lists:
-            return []
-        return top_k_from_sorted_lists(ordered_lists)
+        results = []
+        for by_shard in per_query:
+            ordered_lists = [by_shard[s] for s in sorted(by_shard)]
+            results.append(
+                top_k_from_sorted_lists(ordered_lists) if ordered_lists else []
+            )
+        return results
 
     def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Block-max-WAND pure-BM25 disjunctive top-k (query/wand.py).
@@ -391,13 +441,60 @@ class SearchEngine:
             )
 
         rows = self._execute(
-            terms, set(), shard_fn, "shard int, doc_id long, score double"
+            terms, set(), set(), shard_fn,
+            "shard int, doc_id long, score double",
         )
         merged = sorted(
             ((int(r["doc_id"]), float(r["score"])) for r in rows),
             key=lambda t: (-t[1], t[0]),
         )
         return merged[:k]
+
+    def top_k_with_snippets(
+        self, query: str
+    ) -> list[tuple[int, int, bytes, list[bytes], str]]:
+        """top_k + a result snippet per hit (web/src/Snippets.h:183-217).
+
+        The reference's web tier re-reads gzipped crawl chunks through an
+        LRU (DocumentAccessor); here the documents live in the index's
+        ``stage_raw`` parquet, so the hits are fetched with one pruned scan
+        (url IN top-k — parquet min/max + dictionary skipping) and snippets
+        are generated driver-side from the ~50 fetched texts. Positions are
+        left to the substring path (generateSnippet's own fallback chain).
+        """
+        results = self.top_k(query)
+        if not results:
+            return []
+        from pyspark.sql import functions as F
+
+        from .snippets import combined_text, generate_snippet
+
+        stage = self.spark.read.parquet(
+            os.path.join(self.index_dir, "stage_raw")
+        )
+        has_desc = "desc" in stage.columns  # absent in pre-r2 indexes
+        cols = ["url", "title", "text"] + (["desc"] if has_desc else [])
+        urls = [url for _d, _s, url, _t in results]
+        rows = stage.filter(F.col("url").isin(urls)).select(*cols).collect()
+        by_url = {bytes(r["url"]): r for r in rows}
+        _pt, _xt, tokens = plan_terms(query)
+        qterms = [t for t, _m in tokens]
+        out = []
+        for doc_id, score, url, title in results:
+            row = by_url.get(url)
+            if row is None:
+                out.append((doc_id, score, url, title, "No preview available"))
+                continue
+            text = combined_text(
+                [bytes(t).decode("latin-1") for t in (row["title"] or [])],
+                bytes(row["desc"]).decode("latin-1")
+                if has_desc and row["desc"] is not None else "",
+                bytes(row["text"]).decode("latin-1"),
+            )
+            out.append(
+                (doc_id, score, url, title, generate_snippet(text, qterms))
+            )
+        return out
 
     def matches(self, query: str) -> list[int]:
         """Global ascending matched docids (diagnostic / tests)."""
@@ -412,14 +509,16 @@ class SearchEngine:
             if st is not None:
                 shard = _build_shard(
                     shard_id, shard_size, st,
-                    payload, pickle.loads(docmap_bytes), {},
+                    payload, pickle.loads(docmap_bytes),
                 )
                 out.extend(
                     m + shard.base_doc_id for m in evaluate_query(qstr, shard)
                 )
             return pd.DataFrame({"doc_id": out})
 
-        rows = self._execute(posting_terms, position_terms, shard_fn, "doc_id long")
+        rows = self._execute(
+            posting_terms, position_terms, set(), shard_fn, "doc_id long"
+        )
         return sorted(int(r["doc_id"]) for r in rows)
 
 
@@ -443,9 +542,13 @@ def _build_shard(
     st: dict,
     payload: dict | None,
     docmap: dict,
-    df_map: dict[tuple[str, int], int],
+    pagerank_weight: float = 0.0,
 ) -> ShardIndex:
-    """Decode the query's blocks + the shard doc-map image into a ShardIndex."""
+    """Decode the query's blocks + the shard doc-map image into a ShardIndex.
+
+    Ranking-token document frequencies ride along in ``payload["D"]``
+    (term_dict rows for this shard) — GetDocumentFrequencies,
+    Ranker.cpp:46-64."""
     from .codec import decode_position_block, decode_posting_block
 
     shard = ShardIndex(
@@ -455,9 +558,10 @@ def _build_shard(
         total_title_length=st["total_title"],
         total_url_length=st["total_url"],
         total_desc_length=st["total_desc"],
+        pagerank_weight=pagerank_weight,
     )
-    for (term, shard_key), df in df_map.items():
-        if shard_key == shard_id:
+    if payload:
+        for term, df in payload.get("D", []):
             shard.extra_doc_freqs[term] = df
 
     if payload:
@@ -489,11 +593,13 @@ def _build_shard(
             shard.positions[term] = (docs, flags, plists)
 
     base = shard.base_doc_id
-    for doc_id, (url, title, body_len, title_len, url_len, desc_len, pagerank) in docmap.items():
+    for doc_id, ent in docmap.items():
+        url, title, body_len, title_len, url_len, desc_len, pagerank = ent[:7]
         local = doc_id - base
         shard.doc_map[local] = DocMeta(
             doc_id=local, url=url, title=title, body_len=body_len,
             title_len=title_len, url_len=url_len, desc_len=desc_len,
             pagerank=pagerank,
+            static_rank=ent[7] if len(ent) > 7 else None,
         )
     return shard

@@ -101,8 +101,13 @@ def _make_url(rng: random.Random, i: int) -> str:
     return url
 
 
-def _make_html(rng: random.Random, i: int, scale: int = 1) -> tuple[str, str]:
-    """Returns (html, lang_attr); `scale` multiplies body size."""
+def _make_html(rng: random.Random, i: int, scale: int = 1,
+               n_pages: int | None = None, seed: int = 42) -> tuple[str, str]:
+    """Returns (html, lang_attr); `scale` multiplies body size.
+
+    With ``n_pages`` given, pages cross-link each other (deterministic
+    targets regenerated from the target's own rng) so the link graph has
+    real in-corpus edges — needed for a non-degenerate PageRank."""
     lang_roll = rng.random()
     if lang_roll < 0.75:
         lang = "en"
@@ -157,6 +162,14 @@ def _make_html(rng: random.Random, i: int, scale: int = 1) -> tuple[str, str]:
         )
     if rng.random() < 0.1:
         body_chunks.append('<a href="/x">outer <a href="/y">nested</a>')
+    if n_pages and n_pages > 1 and rng.random() < 0.7:
+        # in-corpus cross links: page j's url is a pure function of (seed, j)
+        for _ in range(rng.randint(1, 3)):
+            j = rng.randrange(n_pages)
+            target = _make_url(random.Random((seed << 32) ^ j), j)
+            body_chunks.append(
+                f'<a href="{target}">see {rng.choice(VOCAB)}</a>'
+            )
     if rng.random() < 0.15:
         body_chunks.append('<embed src="https://cdn.example.org/media.mp4">')
     if rng.random() < 0.1:
@@ -182,13 +195,15 @@ def _make_html(rng: random.Random, i: int, scale: int = 1) -> tuple[str, str]:
     return html, lang
 
 
-def generate_page(i: int, seed: int = 42, scale: int = 1) -> dict:
+def generate_page(i: int, seed: int = 42, scale: int = 1,
+                  n_pages: int | None = None) -> dict:
     """Deterministic page #i — independent of all other pages, so the corpus
-    can be generated distributed (each executor materializes its id range)."""
+    can be generated distributed (each executor materializes its id range).
+    ``n_pages`` (corpus size) only steers deterministic cross-link targets."""
     rng = random.Random((seed << 32) ^ i)
     t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
     url = _make_url(rng, i)
-    html, lang = _make_html(rng, i, scale=scale)
+    html, lang = _make_html(rng, i, scale=scale, n_pages=n_pages, seed=seed)
     return {
         "url": url,
         "warc_ts": t0 + timedelta(seconds=17 * i),
@@ -200,7 +215,7 @@ def generate_page(i: int, seed: int = 42, scale: int = 1) -> dict:
 
 def generate_pages(n: int, seed: int = 42, scale: int = 1) -> list[dict]:
     """Rows of the `pages` table: url, warc_ts, html(bytes), text(None), lang."""
-    return [generate_page(i, seed, scale) for i in range(n)]
+    return [generate_page(i, seed, scale, n_pages=n) for i in range(n)]
 
 
 def generate_pages_df(spark, n: int, seed: int = 42, scale: int = 1,
@@ -214,7 +229,7 @@ def generate_pages_df(spark, n: int, seed: int = 42, scale: int = 1,
     def gen(batches):
         for batch in batches:
             ids = batch.column("id").to_pylist()
-            rows = [generate_page(i, seed, scale) for i in ids]
+            rows = [generate_page(i, seed, scale, n_pages=n) for i in ids]
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array([r["url"] for r in rows], pa.string()),

@@ -43,8 +43,9 @@ SALT_RANGE = BLOCK_SIZE * 256  # 32768 local docids per salted group
 DEFAULT_NUM_BUCKETS = 16
 
 EXTRACT_SCHEMA = (
-    "url binary, title array<binary>, text binary, "
+    "url binary, title array<binary>, text binary, desc binary, "
     "body_len int, title_len int, url_len int, desc_len int, "
+    "static_rank double, links array<binary>, "
     "terms array<string>, freqs array<int>, flags array<int>, "
     "positions array<array<int>>"
 )
@@ -85,13 +86,15 @@ def _extract_arrow(batches):
     """
     import pyarrow as pa
 
+    from .ranking import static_rank
     from .text.docproc import process_page
 
     for batch in batches:
         urls_in = batch.column("url").to_pylist()
         htmls_in = batch.column("html").to_pylist()
-        urls, titles, texts = [], [], []
+        urls, titles, texts, descs = [], [], [], []
         body_lens, title_lens, url_lens, desc_lens = [], [], [], []
+        sranks, links_col = [], []
         terms_col, freqs_col, flags_col, poss_col = [], [], [], []
         for url, html in zip(urls_in, htmls_in):
             if html is None:
@@ -110,10 +113,13 @@ def _extract_arrow(batches):
             urls.append(url_b)
             titles.append(doc.title_words)
             texts.append(doc.text)
+            descs.append(b" ".join(doc.desc_words))
             body_lens.append(doc.body_len)
             title_lens.append(doc.title_len)
             url_lens.append(doc.url_len)
             desc_lens.append(doc.desc_len)
+            sranks.append(static_rank(url_b.decode("latin-1")))
+            links_col.append(doc.forward_links)
             terms_col.append(terms)
             freqs_col.append(freqs)
             flags_col.append(flags)
@@ -123,18 +129,22 @@ def _extract_arrow(batches):
                 pa.array(urls, pa.binary()),
                 pa.array(titles, pa.list_(pa.binary())),
                 pa.array(texts, pa.binary()),
+                pa.array(descs, pa.binary()),
                 pa.array(body_lens, pa.int32()),
                 pa.array(title_lens, pa.int32()),
                 pa.array(url_lens, pa.int32()),
                 pa.array(desc_lens, pa.int32()),
+                pa.array(sranks, pa.float64()),
+                pa.array(links_col, pa.list_(pa.binary())),
                 pa.array(terms_col, pa.list_(pa.string())),
                 pa.array(freqs_col, pa.list_(pa.int32())),
                 pa.array(flags_col, pa.list_(pa.int32())),
                 pa.array(poss_col, pa.list_(pa.list_(pa.int32()))),
             ],
             names=[
-                "url", "title", "text", "body_len", "title_len", "url_len",
-                "desc_len", "terms", "freqs", "flags", "positions",
+                "url", "title", "text", "desc", "body_len", "title_len",
+                "url_len", "desc_len", "static_rank", "links", "terms",
+                "freqs", "flags", "positions",
             ],
         )
 
@@ -189,6 +199,7 @@ def build_index(
     sort_partitions: int | None = None,
     force: bool = False,
     dedupe: bool = True,
+    pagerank: bool = False,
 ) -> dict:
     """Full index build; returns the build metrics dict (also persisted).
 
@@ -310,14 +321,39 @@ def build_index(
     m["ids_broadcast"] = ids_broadcast
     docs = stage.join(ids_df, "url")
 
-    # --- Phase 3: doc_map + index_stats ---
+    # --- Phase 3: doc_map + index_stats (+ optional pagerank) ---
+    doc_map_path = os.path.join(out_dir, "doc_map")
+    need_doc_map = force or not os.path.exists(
+        os.path.join(doc_map_path, "_SUCCESS"))
+    pagerank_col = F.lit(0.0).cast("float").alias("pagerank")
+    docs_for_map = docs
+    if pagerank and need_doc_map:
+        m = phase("pagerank")
+        from .pagerank import spark_pagerank
+
+        link_edges = stage.select(
+            F.col("url").alias("src"), F.explode("links").alias("dst")
+        )
+        graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
+            link_edges.select(F.col("dst").alias("node"))
+        )
+        pr = spark_pagerank(link_edges, graph_nodes)
+        docs_for_map = docs.join(
+            pr.select(F.col("node").alias("url"),
+                      F.col("pagerank").alias("_pr")),
+            "url", "left",
+        )
+        # doc_map stores float32, like the reference's pagerank binary
+        pagerank_col = F.coalesce(F.col("_pr"), F.lit(0.0)).cast("float").alias("pagerank")
+        m["ran"] = True
+        m["finished"] = time.time() - t_start
     m = phase("doc_map")
-    doc_map = docs.select(
+    doc_map = docs_for_map.select(
         "shard", "doc_id", "local_id", "url", "title",
-        "body_len", "title_len", "url_len", "desc_len",
-        F.lit(0.0).cast("float").alias("pagerank"),
+        "body_len", "title_len", "url_len", "desc_len", "static_rank",
+        pagerank_col,
     )
-    m["ran"] = _write_once(doc_map, os.path.join(out_dir, "doc_map"),
+    m["ran"] = _write_once(doc_map, doc_map_path,
                            partition_by=["shard"], force=force)
     stats = docs.groupBy("shard").agg(
         F.count("*").alias("doc_count"),

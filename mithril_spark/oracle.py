@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from .query.isr import DocMeta, ShardIndex
 from .query.shard import answer_query_on_shards, evaluate_query, handle_ranking
+from .ranking import static_rank
 from .text.docproc import DocTerms, process_page
 
 
@@ -43,7 +44,8 @@ class OracleIndex:
 
     @classmethod
     def build(
-        cls, pages: list[tuple[bytes, bytes]], num_shards: int = 1
+        cls, pages: list[tuple[bytes, bytes]], num_shards: int = 1,
+        pagerank: bool = False, pagerank_weight: float = 0.0,
     ) -> "OracleIndex":
         admitted: list[DocTerms] = []
         for url, html in pages:
@@ -52,13 +54,35 @@ class OracleIndex:
                 admitted.append(doc)
         admitted.sort(key=lambda d: d.url)
 
+        pr_by_url: dict[bytes, float] = {}
+        if pagerank:
+            # same fixed-point power iteration + standardization the Spark
+            # build uses (mithril_spark/pagerank.py) — bit-identical
+            import numpy as np
+
+            from .pagerank import pagerank_fixed_numpy, standardize_numpy
+
+            edges = [
+                (d.url, target) for d in admitted for target in d.forward_links
+            ]
+            node_set = {d.url for d in admitted}
+            node_set.update(t for _s, t in edges)
+            nodes = sorted(node_set)
+            ranks = pagerank_fixed_numpy(edges, nodes)
+            std = standardize_numpy(np.array([ranks[u] for u in nodes]))
+            # doc_map stores float32 (reference writes float32 binary)
+            pr_by_url = {
+                u: float(np.float32(v)) for u, v in zip(nodes, std)
+            }
+
         n = len(admitted)
         shard_size = -(-n // num_shards) if n else 1
         shards: list[ShardIndex] = []
         for s in range(num_shards):
             base = s * shard_size
             count = max(0, min(shard_size, n - base))
-            shards.append(ShardIndex(doc_count=count, base_doc_id=base))
+            shards.append(ShardIndex(doc_count=count, base_doc_id=base,
+                                     pagerank_weight=pagerank_weight))
 
         for doc_id, doc in enumerate(admitted):
             s = doc_id // shard_size
@@ -72,7 +96,8 @@ class OracleIndex:
                 title_len=doc.title_len,
                 url_len=doc.url_len,
                 desc_len=doc.desc_len,
-                pagerank=0.0,
+                pagerank=pr_by_url.get(doc.url, 0.0),
+                static_rank=static_rank(doc.url.decode("latin-1")),
             )
             shard.total_body_length += doc.body_len
             shard.total_title_length += doc.title_len

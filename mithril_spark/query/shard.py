@@ -15,10 +15,15 @@ else — including the 30k/25k/100k short-circuit heuristics — is transcribed.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..ranking import (
+    ascii_lower,
     contains_porn_keywords,
     contains_porn_keywords_any,
     final_score,
+    final_score_batch,
+    static_rank,
     tokenify_query,
 )
 from ..text.normalize import ALL, ANCHOR, DESC, STOPWORDS, TITLE, URL, normalize
@@ -141,10 +146,15 @@ def top_k_from_sorted_lists(
     return out
 
 
-def handle_ranking(
+def handle_ranking_scalar(
     query: str, shard: ShardIndex, matches: list[int]
 ) -> list[tuple[int, int, bytes, list[bytes]]]:
-    """QueryManager::HandleRanking (QueryManager.cpp:274-358).
+    """QueryManager::HandleRanking (QueryManager.cpp:274-358) — scalar.
+
+    One Python ``final_score`` call per match: the readable reference
+    implementation. The engine default is ``handle_ranking`` (vectorized,
+    bit-identical — property-tested against this path); this one stays as
+    the oracle for those tests.
 
     ``matches`` are ascending shard-local docids. Returns the shard's top-50
     as (doc_id, score, url, title_words) ordered by (score desc, doc desc).
@@ -209,6 +219,8 @@ def handle_ranking(
             body_positions=body_positions,
             in_description=in_description,
             pagerank=meta.pagerank,
+            static_rank_value=meta.static_rank,
+            pagerank_weight=shard.pagerank_weight,
         )
         ranked.append((match, score, meta.url, meta.title))
 
@@ -224,6 +236,166 @@ def handle_ranking(
             if ranked_documents_above_min < REQUIRED_RESULTS_QTY:
                 break
         if ranked_documents >= RESULTS_HARD_CAP:
+            break
+
+    return top_k_elements_fast(ranked)
+
+
+RANK_CHUNK = 16384  # vectorized scoring batch; breaks replay chunk-exactly
+
+
+def _sorted_member(docs_np: np.ndarray, m_arr: np.ndarray) -> np.ndarray:
+    """Membership of each m in the sorted docid array (one searchsorted)."""
+    if len(docs_np) == 0:
+        return np.zeros(len(m_arr), dtype=bool)
+    idx = np.searchsorted(docs_np, m_arr)
+    idxc = np.minimum(idx, len(docs_np) - 1)
+    return (idx < len(docs_np)) & (docs_np[idxc] == m_arr)
+
+
+def _lookup_tf_first(docs_np, lens, firsts, m_arr):
+    """(tf, first_position) per m from one term's position lists (0 absent)."""
+    n = len(m_arr)
+    if len(docs_np) == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return z, z
+    idx = np.searchsorted(docs_np, m_arr)
+    idxc = np.minimum(idx, len(docs_np) - 1)
+    found = (idx < len(docs_np)) & (docs_np[idxc] == m_arr)
+    return np.where(found, lens[idxc], 0), np.where(found, firsts[idxc], 0)
+
+
+def handle_ranking(
+    query: str, shard: ShardIndex, matches: list[int]
+) -> list[tuple[int, int, bytes, list[bytes]]]:
+    """QueryManager::HandleRanking — vectorized engine default.
+
+    Scores matches in RANK_CHUNK numpy batches via final_score_batch
+    (bit-identical float32 semantics to handle_ranking_scalar, which the
+    reference budget of 250 ms/shard, QueryManager.cpp:34, rules out in
+    per-row Python), then replays the reference's short-circuit counters
+    over the score sequence in match order — chunking cannot change the
+    output because the counters only ever stop the scan earlier.
+    """
+    if not matches:
+        return []
+
+    tokens, stopword_idx, nonstopword_idx = tokenify_query(query)
+    doc_freqs = {term: shard.doc_freq(term) for term, _ in tokens}
+
+    # SetupPositionIndexPointers (QueryManager.cpp:249-270)
+    pos_arrays: dict[str, tuple] = {}
+    desc_arrays: dict[str, np.ndarray] = {}
+    for term, _ in tokens:
+        if term.encode() in STOPWORDS:
+            continue
+        entry = shard.positions.get(term)
+        if entry is not None and term not in pos_arrays:
+            docs, _flags, plists = entry
+            k = len(plists)
+            pos_arrays[term] = (
+                np.asarray(docs, dtype=np.int64),
+                np.fromiter((len(p) for p in plists), np.int64, k),
+                np.fromiter((p[0] if len(p) else 0 for p in plists),
+                            np.int64, k),
+            )
+        dentry = shard.positions.get("%" + term)
+        if dentry is not None and term not in desc_arrays:
+            desc_arrays[term] = np.asarray(dentry[0], dtype=np.int64)
+
+    short_circuit = len(matches) > RESULTS_REQUIRED_TO_SHORTCIRCUIT
+    results_collected_above_min = 0
+    ranked_documents = 0
+    ranked_documents_above_min = 0
+    ranked: list[tuple[int, int, bytes, list[bytes]]] = []
+    stop = False
+
+    for start in range(0, len(matches), RANK_CHUNK):
+        chunk = matches[start:start + RANK_CHUNK]
+        entries: list[tuple[int, object]] = []  # scan order; porn dropped
+        scored: list[tuple[int, object]] = []
+        for m in chunk:
+            meta = shard.doc_map.get(m)
+            if meta is None:
+                entries.append((m, None))
+                continue
+            if contains_porn_keywords_any(meta.title) or contains_porn_keywords(meta.url):
+                continue
+            entries.append((m, meta))
+            scored.append((m, meta))
+
+        scores = None
+        if scored:
+            nsc = len(scored)
+            m_arr = np.fromiter((m for m, _ in scored), np.int64, nsc)
+            urls = [meta.url.decode("latin-1") for _, meta in scored]
+            title_words_list = [
+                [t.decode("latin-1") for t in meta.title] for _, meta in scored
+            ]
+            title_concats = [ascii_lower("".join(tw)) for tw in title_words_list]
+            title_sizes = np.fromiter(
+                (len(meta.title) for _, meta in scored), np.int64, nsc)
+            body_lens = np.fromiter(
+                (meta.body_len for _, meta in scored), np.int64, nsc)
+            pageranks = np.fromiter(
+                (meta.pagerank for _, meta in scored), np.float64, nsc)
+            static_ranks = np.fromiter(
+                (meta.static_rank if meta.static_rank is not None
+                 else static_rank(u)
+                 for (_, meta), u in zip(scored, urls)),
+                np.float64, nsc)
+            tf_by_term: dict[str, np.ndarray] = {}
+            first_by_term: dict[str, np.ndarray] = {}
+            in_desc_by_term: dict[str, np.ndarray] = {}
+            for term, _ in tokens:
+                pa = pos_arrays.get(term)
+                if pa is not None and term not in tf_by_term:
+                    tf, fp = _lookup_tf_first(*pa, m_arr)
+                    tf_by_term[term] = tf
+                    first_by_term[term] = fp
+                da = desc_arrays.get(term)
+                if da is not None and term not in in_desc_by_term:
+                    in_desc_by_term[term] = _sorted_member(da, m_arr)
+            scores = final_score_batch(
+                tokens, stopword_idx, nonstopword_idx,
+                urls=urls, title_concats=title_concats,
+                title_words_list=title_words_list,
+                title_sizes=title_sizes, body_lens=body_lens,
+                doc_count=shard.doc_count,
+                avg_body_length=shard.avg_body_length,
+                doc_freqs=doc_freqs, tf_by_term=tf_by_term,
+                first_pos_by_term=first_by_term,
+                in_desc_by_term=in_desc_by_term,
+                static_ranks=static_ranks, pageranks=pageranks,
+                pagerank_weight=shard.pagerank_weight,
+            )
+
+        # replay the reference loop's counters over the score sequence
+        j = 0
+        for m, meta in entries:
+            if meta is None:
+                ranked.append((m, 0, b"", []))
+                continue
+            score = int(scores[j])
+            j += 1
+            ranked.append((m, score, meta.url, meta.title))
+
+            if short_circuit and score >= SCORE_FOR_SHORTCIRCUIT_REQUIRED:
+                results_collected_above_min += 1
+                if results_collected_above_min >= RESULTS_COLLECTED_AFTER_SHORTCIRCUIT:
+                    stop = True
+                    break
+            ranked_documents += 1
+            if score >= REQUIRED_RESULTS_SCORE:
+                ranked_documents_above_min += 1
+            if ranked_documents >= MINIMUM_QUOTA_FOR_RESULTS_CHECK:
+                if ranked_documents_above_min < REQUIRED_RESULTS_QTY:
+                    stop = True
+                    break
+            if ranked_documents >= RESULTS_HARD_CAP:
+                stop = True
+                break
+        if stop:
             break
 
     return top_k_elements_fast(ranked)

@@ -236,8 +236,22 @@ SCORE_RANGE = MAX_SCORE - MIN_SCORE
 _W32 = {k: F32(v) for k, v in W.items()}
 
 
-def get_url_dynamic_rank(features: dict) -> int:
+def _effective_weights(pagerank_weight: float | None):
+    """(weights, score_range) for a possibly-overridden pagerank weight.
+
+    The shipped dynamicranker.conf weight is 0.0; a non-zero override
+    mirrors what a conf change would do: the weight enters both the linear
+    model and the normalization range (MIN stays 0)."""
+    if not pagerank_weight:
+        return _W32, SCORE_RANGE
+    w32 = dict(_W32)
+    w32["pagerank"] = F32(pagerank_weight)
+    return w32, F32(SCORE_RANGE + F32(pagerank_weight))
+
+
+def get_url_dynamic_rank(features: dict, pagerank_weight: float | None = None) -> int:
     """GetUrlDynamicRank (DynamicRanker.cpp:97-136) in float32."""
+    w32, score_range = _effective_weights(pagerank_weight)
     score = F32(0.0)
     for key in (
         "bm25", "query_in_title", "query_in_url", "query_in_description",
@@ -248,8 +262,8 @@ def get_url_dynamic_rank(features: dict) -> int:
         "density_percent_query_description", "earliest_pos_title",
         "earliest_pos_body", "static_rank", "pagerank",
     ):
-        score = score + _W32[key] * F32(features[key])
-    final = (F32(score - MIN_SCORE) / SCORE_RANGE) * F32(10000.0)
+        score = score + w32[key] * F32(features[key])
+    final = (F32(score - MIN_SCORE) / score_range) * F32(10000.0)
     # static_cast<uint32_t>(float) on the reference's x86-64 target:
     # cvttss2si to int64, truncated to 32 bits; NaN -> INT64_MIN -> 0.
     # Negative scores (negative BM25 idf) therefore wrap to huge uint32s,
@@ -375,6 +389,8 @@ def final_score(
     body_positions: dict[str, list[int]],
     in_description: dict[str, bool],
     pagerank: float = 0.0,
+    static_rank_value: float | None = None,
+    pagerank_weight: float | None = None,
 ) -> int:
     """GetFinalScore (Ranker.cpp:66-243) transcription.
 
@@ -501,8 +517,230 @@ def final_score(
         "earliest_pos_title": earliest_pos_title,
         "earliest_pos_body": earliest_pos_body,
         "bm25": weighted_bm25,
-        "static_rank": F32(static_rank(url)),
+        "static_rank": F32(
+            static_rank(url) if static_rank_value is None else static_rank_value
+        ),
         "pagerank": F32(pagerank),
     }
     np.seterr(**_err)
-    return get_url_dynamic_rank(features)
+    return get_url_dynamic_rank(features, pagerank_weight)
+
+
+# --- vectorized batch scoring (engine hot path) ---
+#
+# final_score_batch is the numpy-vectorized twin of final_score: one array
+# op per (token, feature) instead of one Python call per match. Exactness
+# contract: every float32 operation is performed in the SAME order and at
+# the SAME precision as the scalar path (per-token sequential accumulation
+# over the match axis), so scores are bit-identical — asserted by the
+# property tests in tests/test_ranking_vec.py. The scalar path remains the
+# readable reference / oracle.
+
+_RANK_KEY_ORDER = (
+    "bm25", "query_in_title", "query_in_url", "query_in_description",
+    "query_in_body", "coverage_percent_query_title",
+    "density_percent_query_title", "order_sensitive_title",
+    "coverage_percent_query_url", "density_percent_query_url",
+    "coverage_percent_query_description",
+    "density_percent_query_description", "earliest_pos_title",
+    "earliest_pos_body", "static_rank", "pagerank",
+)
+
+
+def final_score_batch(
+    tokens: list[tuple[str, int]],
+    stopword_idx: list[int],
+    nonstopword_idx: list[int],
+    *,
+    urls: list[str],
+    title_concats: list[str],
+    title_words_list: list[list[str]],
+    title_sizes,
+    body_lens,
+    doc_count: int,
+    avg_body_length: float,
+    doc_freqs: dict[str, int],
+    tf_by_term: dict[str, "np.ndarray"],
+    first_pos_by_term: dict[str, "np.ndarray"],
+    in_desc_by_term: dict[str, "np.ndarray"],
+    static_ranks,
+    pageranks,
+    pagerank_weight: float | None = None,
+) -> "np.ndarray":
+    """GetFinalScore over a batch of matched docs; returns uint32 scores.
+
+    ``tf_by_term[t]`` / ``first_pos_by_term[t]`` are the body position count
+    and first position per doc (0 where absent / no pointer — matching the
+    scalar path's empty-positions convention); ``in_desc_by_term[t]`` is the
+    %t presence bool. Missing term keys mean "no position pointer" (all 0 /
+    False), mirroring SetupPositionIndexPointers.
+    """
+    n = len(urls)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    f32 = np.float32
+    zeros32 = lambda: np.zeros(n, dtype=np.float32)
+    _zero_i = np.zeros(n, dtype=np.int64)
+    _false = np.zeros(n, dtype=bool)
+
+    url_raw = np.asarray(urls, dtype=np.str_)
+    url_low = np.asarray([ascii_lower(u) for u in urls], dtype=np.str_)
+    title_low = np.asarray(title_concats, dtype=np.str_)
+    len_url = np.char.str_len(url_raw).astype(np.int64)
+    title_sizes = np.asarray(title_sizes, dtype=np.int64)
+    body_lens = np.asarray(body_lens, dtype=np.int64)
+
+    is_in_url = np.ones(n, dtype=bool)
+    is_in_title = np.ones(n, dtype=bool)
+    is_in_description = np.ones(n, dtype=bool)
+    is_in_body = np.ones(n, dtype=bool)
+    words_in_url = zeros32()
+    words_in_title = zeros32()
+    words_in_desc = zeros32()
+    earliest_pos_title = zeros32()
+    earliest_pos_body = zeros32()
+    density_url = zeros32()
+    density_title = zeros32()
+    density_description = zeros32()
+    weighted_bm25 = zeros32()
+    nonstopword_found = np.zeros(n, dtype=np.int64)
+
+    q_size = F32(len(tokens))
+
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+
+        def scan(idx_list, gate):
+            nonlocal is_in_url, is_in_title, is_in_description, is_in_body
+            nonlocal words_in_url, words_in_title, words_in_desc
+            nonlocal earliest_pos_title, earliest_pos_body
+            nonlocal density_url, density_title, weighted_bm25
+            nonlocal nonstopword_found
+            for idx in idx_list:
+                term, multiplicity = tokens[idx]
+                mult_frac = F32(multiplicity) / q_size
+
+                tf = tf_by_term.get(term)
+                tf = _zero_i if tf is None else tf
+                first = first_pos_by_term.get(term)
+                first = _zero_i if first is None else first
+                in_desc = in_desc_by_term.get(term)
+                in_desc = _false if in_desc is None else in_desc
+                in_body = tf > 0
+                in_url = np.char.find(url_raw, term) >= 0
+                pos_t = np.char.find(title_low, term)
+                in_title = pos_t >= 0
+
+                act = gate if gate is not None else None
+                m_url = in_url if act is None else (in_url & act)
+                m_title = in_title if act is None else (in_title & act)
+                m_desc = in_desc if act is None else (in_desc & act)
+                m_body = in_body if act is None else (in_body & act)
+                # the AND flags only see tokens that were actually scanned
+                off = ~act if act is not None else False
+                is_in_url &= in_url | off
+                is_in_title &= in_title | off
+                is_in_description &= in_desc | off
+                is_in_body &= in_body | off
+
+                words_in_url = np.where(
+                    m_url, words_in_url + f32(1.0), words_in_url
+                )
+                url_occ = np.minimum(
+                    np.char.count(url_low, term) * len(term), len_url
+                )
+                du = (url_occ.astype(f32) / len_url.astype(f32)) * mult_frac
+                density_url = np.where(m_url, density_url + du, density_url)
+
+                words_in_title = np.where(
+                    m_title, words_in_title + f32(1.0), words_in_title
+                )
+                et = (f32(1.0) / (pos_t + 1).astype(f32)) * mult_frac
+                earliest_pos_title = np.where(
+                    m_title, earliest_pos_title + et, earliest_pos_title
+                )
+                title_occ = np.minimum(
+                    np.char.count(title_low, term), title_sizes
+                )
+                dt = (title_occ.astype(f32) / title_sizes.astype(f32)) * mult_frac
+                density_title = np.where(
+                    m_title, density_title + dt, density_title
+                )
+
+                words_in_desc = np.where(
+                    m_desc, words_in_desc + f32(1.0), words_in_desc
+                )
+
+                eb = (f32(1.0) / (first + 1).astype(f32)) * mult_frac
+                earliest_pos_body = np.where(
+                    m_body, earliest_pos_body + eb, earliest_pos_body
+                )
+
+                df = doc_freqs.get(term, 0)
+                if df == 0:
+                    bm = np.zeros(n, dtype=np.float64)
+                else:
+                    tf1 = np.where(tf == 0, 1, tf)
+                    idf = math.log((doc_count - df + 0.5) / (df + 0.5))
+                    if avg_body_length > 0:
+                        norm = (1.0 - BM25_B) + BM25_B * (
+                            body_lens / avg_body_length
+                        )
+                    else:
+                        norm = np.ones(n, dtype=np.float64)
+                    tfc = np.where(norm > 0, tf1 / norm, 0.0)
+                    bm = idf * (tfc * (BM25_K1 + 1)) / (tfc + BM25_K1)
+                    bm = np.minimum(bm, 6.0) / 6.0
+                wb = bm.astype(f32) * mult_frac
+                weighted_bm25 = (
+                    weighted_bm25 + wb if act is None
+                    else np.where(act, weighted_bm25 + wb, weighted_bm25)
+                )
+
+                if gate is None:
+                    nonstopword_found += (in_url | in_title | in_desc)
+
+        scan(nonstopword_idx, None)
+        if len(nonstopword_idx) > 0:
+            gate = (
+                nonstopword_found.astype(np.float64) / float(len(nonstopword_idx))
+            ) >= 0.66
+            scan(stopword_idx, gate)
+
+        ordered = np.fromiter(
+            (math.sqrt(ordered_match_score(tokens, tw))
+             for tw in title_words_list),
+            dtype=np.float32, count=n,
+        )
+
+        total = q_size
+        features = {
+            "query_in_url": is_in_url.astype(f32),
+            "query_in_title": is_in_title.astype(f32),
+            "query_in_description": is_in_description.astype(f32),
+            "query_in_body": is_in_body.astype(f32),
+            "coverage_percent_query_url": words_in_url / total,
+            "coverage_percent_query_title": words_in_title / total,
+            "coverage_percent_query_description": words_in_desc / total,
+            "order_sensitive_title": ordered,
+            "density_percent_query_url": density_url,
+            "density_percent_query_title": density_title,
+            "density_percent_query_description": density_description,
+            "earliest_pos_title": earliest_pos_title,
+            "earliest_pos_body": earliest_pos_body,
+            "bm25": weighted_bm25,
+            "static_rank": np.asarray(static_ranks, np.float64).astype(f32),
+            "pagerank": np.asarray(pageranks, np.float64).astype(f32),
+        }
+        w32, score_range = _effective_weights(pagerank_weight)
+        score = zeros32()
+        for key in _RANK_KEY_ORDER:
+            score = score + w32[key] * features[key]
+        final = ((score - MIN_SCORE) / score_range) * f32(10000.0)
+
+        out = np.zeros(n, dtype=np.uint64)
+        valid = ~np.isnan(final)
+        # static_cast<uint32_t>(float): cvttss2si truncation to int64 then
+        # low 32 bits (same wrap as the scalar path's int(final)&0xFFFFFFFF)
+        iv = np.trunc(final[valid].astype(np.float64)).astype(np.int64)
+        out[valid] = (iv & np.int64(0xFFFFFFFF)).astype(np.uint64)
+    return out

@@ -23,6 +23,7 @@ from .normalize import (
     URL,
     language_allowed,
     normalize,
+    robots_nofollow,
     robots_noindex,
     should_store_positions,
     tokenize_url,
@@ -47,6 +48,9 @@ class DocTerms:
     url_len: int = 0
     desc_len: int = 0
     total_term_count: int = 0
+    # absolutized + canonicalized forward links (crawler Worker.cpp:195,
+    # GetFollowURLs) — duplicates preserved; empty when robots nofollow
+    forward_links: list[bytes] = field(default_factory=list)
 
     @property
     def text(self) -> bytes:
@@ -140,4 +144,11 @@ def process_page(url: bytes, html: bytes) -> DocTerms | None:
     parsed, admitted = extract_page(url, html)
     if not admitted:
         return None
-    return build_doc_terms(url, parsed)
+    doc = build_doc_terms(url, parsed)
+    if not robots_nofollow(parsed.metas):
+        from .links import follow_urls
+
+        doc.forward_links = follow_urls(
+            url, parsed.base or b"", [u for u, _anchor in parsed.links]
+        )
+    return doc

@@ -295,3 +295,12 @@ def robots_noindex(metas: dict[bytes, bytes]) -> bool:
     if robots is None:
         return False
     return any(rule == b"noindex" for rule in get_comma_separated_list(robots))
+
+
+def robots_nofollow(metas: dict[bytes, bytes]) -> bool:
+    """GetRobotsMeta NoFollow (crawler/src/Worker.cpp:67-85): an indexed
+    page with nofollow contributes no forward links (Worker.cpp:176-183)."""
+    robots = metas.get(b"robots")
+    if robots is None:
+        return False
+    return any(rule == b"nofollow" for rule in get_comma_separated_list(robots))
