@@ -1,0 +1,291 @@
+"""Differential test against the COMPILED C++ reference parser.
+
+VERDICT r01 #3: the repo's oracle shares mithril_spark.text with the
+engine, so transcription bugs were invisible to the rank/byte identity
+gates. This suite compiles the reference's actual HTML subsystem
+(common/src/html/{Parser,Entity,Tags}.cpp + http/URL.cpp + Util.cpp, with
+two std-passthrough shims for the not-checked-out vendored lib — see
+tests/cpp_ref/shim) and byte-compares every parse field against
+mithril_spark.text.htmlparse on the fixture corpus plus adversarial
+snippets. Skipped when no C++ compiler is available.
+"""
+
+import math
+import os
+import random
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+REF = "/root/reference"
+SOURCES = [
+    "tests/cpp_ref/parse_driver.cpp",
+    f"{REF}/common/src/html/Parser.cpp",
+    f"{REF}/common/src/html/Entity.cpp",
+    f"{REF}/common/src/html/Tags.cpp",
+    f"{REF}/common/src/http/URL.cpp",
+    f"{REF}/common/src/Util.cpp",
+]
+
+
+def _compile(tmp_path_factory, name, sources, includes):
+    gxx = shutil.which("g++") or shutil.which("clang++")
+    if gxx is None:
+        pytest.skip("no C++ compiler available")
+    exe = str(tmp_path_factory.mktemp("cppref") / name)
+    cmd = [gxx, "-std=c++20", "-O2"]
+    for inc in includes:
+        cmd += ["-I", inc]
+    cmd += [*sources, "-o", exe]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        pytest.skip(f"reference compile failed: {proc.stderr[:500]}")
+    return exe
+
+ADVERSARIAL = [
+    b"",
+    b"no tags at all just words",
+    b"<title>unclosed title eats everything",
+    b"<TITLE>CASE</title>after",
+    b"<script>var a = '<fake>'; if (a > b) {}</script>visible",
+    b"<svg><circle/></svg>post",
+    b"<!-- comment > with <tags> -->after",
+    b"<unknowntag>discarded?</unknowntag>kept",
+    b"<a href=\"/x\">outer <a href=\"/y\">nested</a> tail",
+    b"<a href='%41%42'>pct</a>",
+    b"<base href=\"https://b.example/\"><base href=\"https://c.example/\">",
+    b"<embed src=\"https://cdn.example/x.mp4\">",
+    b"<meta name=\"description\" content=\"d &amp; c\">",
+    b"<meta name=\"robots\" content=\"noindex, nofollow\">",
+    b"<html lang=\"en-US\"><body>x</body></html>",
+    b"&amp; &bogus; &#65; &#x42; &#xZZ; &unterminated",
+    b"< notatag>text< /also>",
+    b"<p>a</p ><b>b</b/>",
+    b"<a href=\"javascript:void(0)\">js</a>",
+    b"<div  class='x'   data-y=\"<z>\">attr soup</div>",
+    b"word\xc3\xa9 caf\xc3\xa9 \xe5\x8d\x8a\xe8\xa7\x92",
+    b"<a href=\"https://e.com/a?b=1&amp;c=2\">q</a>",
+    b"<style>.c > p { color: red }</style>v",
+    b"<title>t1</title><title>t2</title>",
+    b"</title></a></script>stray closers",
+]
+
+
+@pytest.fixture(scope="module")
+def driver(tmp_path_factory):
+    return _compile(tmp_path_factory, "parse_driver", SOURCES,
+                    ["tests/cpp_ref/shim", f"{REF}/common/include"])
+
+
+@pytest.fixture(scope="module")
+def norm_driver(tmp_path_factory):
+    return _compile(tmp_path_factory, "normalize_driver",
+                    ["tests/cpp_ref/normalize_driver.cpp"],
+                    [f"{REF}/index/src"])
+
+
+@pytest.fixture(scope="module")
+def rank_driver(tmp_path_factory):
+    return _compile(
+        tmp_path_factory, "rank_driver",
+        ["tests/cpp_ref/rank_driver.cpp",
+         f"{REF}/ranking/src/StaticRanker.cpp",
+         f"{REF}/ranking/src/DynamicRanker.cpp"],
+        ["tests/cpp_ref/shim", f"{REF}/ranking/src"],
+    )
+
+
+def _run_reference(exe: str, htmls: list[bytes]) -> list[dict]:
+    inp = b"".join(b"%d\n%s\n" % (len(h), h) for h in htmls)
+    out = subprocess.run([exe], input=inp, capture_output=True,
+                         timeout=300).stdout
+    i, docs, cur = 0, [], {}
+    while i < len(out):
+        sp = out.index(b" ", i)
+        tag = out[i:sp].decode()
+        nl = out.index(b"\n", sp)
+        n = int(out[sp + 1:nl])
+        if tag == "E":
+            docs.append(cur)
+            cur = {}
+            i = nl + 1
+        else:
+            cur[tag] = out[nl + 1:nl + 1 + n]
+            i = nl + 1 + n + 1
+    return docs
+
+
+def _python_fields(html: bytes) -> dict:
+    from mithril_spark.text.htmlparse import parse_document
+
+    py = parse_document(html)
+    return {
+        "W": b" ".join(py.words),
+        "T": b" ".join(py.title_words),
+        "B": py.base,
+        "L": py.lang,
+        "M": py.metas.get(b"description", b"\x00MISSING"),
+        "K": b"".join(u + b"\x1f" + b" ".join(a) + b"\x1e"
+                      for u, a in py.links),
+    }
+
+
+def _assert_identical(exe, htmls, labels):
+    got = _run_reference(exe, htmls)
+    assert len(got) == len(htmls)
+    for html, d, label in zip(htmls, got, labels):
+        want = _python_fields(html)
+        for tag in ("W", "T", "B", "L", "M", "K"):
+            assert d[tag] == want[tag], (label, tag, d[tag][:120],
+                                         want[tag][:120])
+
+
+def test_fixture_corpus_byte_identical(driver):
+    from mithril_spark.fixtures import generate_pages
+
+    pages = generate_pages(400, seed=42)
+    _assert_identical(driver, [p["html"] for p in pages],
+                      [p["url"] for p in pages])
+
+
+def test_alt_seed_corpus_byte_identical(driver):
+    from mithril_spark.fixtures import generate_pages
+
+    pages = generate_pages(200, seed=1337)
+    _assert_identical(driver, [p["html"] for p in pages],
+                      [p["url"] for p in pages])
+
+
+def test_adversarial_snippets_byte_identical(driver):
+    _assert_identical(driver, ADVERSARIAL,
+                      [h[:40] for h in ADVERSARIAL])
+
+
+# --- token normalizer (index/src/TextPreprocessor.h) ---
+
+_NORM_ADVERSARIAL = [
+    b"", b"HTML", b"Mixed", b"ALLCAPS", b"a<b>c", b"x{y}z", b"&amp;",
+    b"&unterminated", b"...dots...", b"123", b"a1b2", b"www.example",
+    b"site.com", b"a=b", b"foo|bar", b"x" * 70, b"x" * 64, b"don't",
+    b"re-index", b"caf\xc3\xa9", b"\x80weird", b"end\xff", b"A--B",
+    b"__init__", b"the", b"THE", b"And", b"a&b;c", b"<>", b"{}", b"-",
+]
+
+
+def test_normalizer_byte_identical(norm_driver):
+    from mithril_spark.fixtures import generate_pages
+    from mithril_spark.text.htmlparse import parse_document
+    from mithril_spark.text.normalize import normalize, tokenize_url
+
+    pages = generate_pages(200, seed=42)
+    toks = []
+    for p in pages:
+        d = parse_document(p["html"])
+        toks.extend((0, w) for w in d.words)
+        toks.extend((1, w) for w in d.title_words)
+        toks.extend((2, w) for w in tokenize_url(p["url"].encode()))
+        desc = d.metas.get(b"description")
+        if desc:
+            toks.extend((4, w) for w in desc.split(b" "))
+    for a in _NORM_ADVERSARIAL:
+        toks.extend((f, a) for f in range(5))
+    inp = b"".join(b"%d %d\n%s\n" % (f, len(t), t) for f, t in toks)
+    out = subprocess.run([norm_driver], input=inp, capture_output=True,
+                         timeout=300).stdout
+    i, res = 0, []
+    while i < len(out):
+        nl = out.index(b"\n", i)
+        n = int(out[i:nl])
+        res.append(out[nl + 1:nl + 1 + n])
+        i = nl + 1 + n + 1
+    assert len(res) == len(toks)
+    for (f, t), got in zip(toks, res):
+        assert got == normalize(t, f), (f, t[:60], got, normalize(t, f))
+
+
+# --- rankers (ranking/src/StaticRanker.cpp + DynamicRanker.cpp) ---
+
+_RANK_KEYS = [
+    "bm25", "query_in_title", "query_in_url", "query_in_description",
+    "query_in_body", "coverage_percent_query_title",
+    "density_percent_query_title", "order_sensitive_title",
+    "coverage_percent_query_url", "density_percent_query_url",
+    "coverage_percent_query_description",
+    "density_percent_query_description", "earliest_pos_title",
+    "earliest_pos_body", "static_rank", "pagerank",
+]
+
+
+def test_rankers_bit_identical(rank_driver):
+    """Static rank (double bits), dynamic rank (uint32 incl. the negative
+    cvttss2si wrap) and OrderedMatchScore (float bits) against the compiled
+    reference with the REAL shipped conf values."""
+    import numpy as np
+
+    from mithril_spark.fixtures import VOCAB, generate_pages
+    from mithril_spark.ranking import (
+        F32,
+        get_url_dynamic_rank,
+        ordered_match_score,
+        static_rank,
+    )
+
+    env = dict(os.environ, MITHRIL_CONF_DIR=f"{REF}/ranking/config")
+    rng = random.Random(7)
+    # Only urls containing ':' — the reference's protocol scan
+    # (StaticRanker.cpp:147 `while (*c != ':')`) has no bounds check and
+    # reads past the buffer on colon-free input (UB); its real inputs are
+    # frontier-canonicalized http(s) urls. The Python transcription guards
+    # at the string end (ranking.py _get_string_rankings docstring).
+    urls = [p["url"] for p in generate_pages(300, seed=42)] + [
+        "https://github.com/x", "http://a/", "https://:",
+        "ftp://x.com/a", "https://site.com/a%2Fb?x=1",
+        "https://www.a.b.c.d.example.com/p/q/r/s/t/u?x=1&y=2&z=3/99999",
+    ]
+    lines = []
+    for u in urls:
+        ub = u.encode("utf-8")
+        lines.append(b"S %d\n%s\n" % (len(ub), ub))
+    feats_list = []
+    for _ in range(400):
+        f = [rng.uniform(-1.5, 1.5) for _ in range(16)]
+        for i in (1, 2, 3, 4):
+            f[i] = float(rng.random() < 0.5)
+        feats_list.append([np.float32(x) for x in f])
+    for f in feats_list:
+        words = " ".join(
+            "%08x" % struct.unpack("<I", struct.pack("<f", float(x)))[0]
+            for x in f)
+        lines.append(("D %s\n" % words).encode())
+    oms_cases = []
+    for _ in range(200):
+        q = [rng.choice(VOCAB) for _ in range(rng.randint(1, 5))]
+        t = [rng.choice(VOCAB + ["Search", "ENGINE", "x"])
+             for _ in range(rng.randint(0, 6))]
+        oms_cases.append((q, t))
+    for q, t in oms_cases:
+        lines.append(("O %d %d\n" % (len(q), len(t))).encode())
+        for tok in q + t:
+            tb = tok.encode()
+            lines.append(b"%d\n%s\n" % (len(tb), tb))
+
+    r = subprocess.run([rank_driver], input=b"".join(lines),
+                       capture_output=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-400:]
+    out = r.stdout.decode().split()
+    i = 0
+    for u in urls:
+        cpp = struct.unpack("<d", struct.pack("<Q", int(out[i], 16)))[0]
+        i += 1
+        py = static_rank(u)
+        assert cpp == py or (math.isnan(cpp) and math.isnan(py)), u
+    for f in feats_list:
+        cpp = int(out[i])
+        i += 1
+        assert cpp == get_url_dynamic_rank(dict(zip(_RANK_KEYS, f)))
+    for q, t in oms_cases:
+        cpp = struct.unpack("<f", struct.pack("<I", int(out[i], 16)))[0]
+        i += 1
+        assert cpp == float(F32(ordered_match_score([(w, 1) for w in q], t)))
