@@ -602,6 +602,12 @@ WHERE i.inter * 10 >= (sa.sz + sb.sz - i.inter) * 8
 N_MINHASH = 16
 LSH_BANDS = 4  # 4 rows per band
 
+# Affine minhash family over a 28-bit md5 truncation: h_i(x) = (a*x+b) mod P.
+# P = 2^31-1 (prime); products stay < 2^59, exact int64 in Spark AND DuckDB.
+_MH_P = 2147483647
+_MH_A = [769_12_341 + 2_654_435_761 * i % 1_000_003_519 for i in range(N_MINHASH)]
+_MH_B = [97 + 40_503 * i for i in range(N_MINHASH)]
+
 
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash(16) + LSH(4 bands x 4 rows) candidate pairs, Jaccard-verified >= 0.5.
@@ -611,24 +617,26 @@ def q_dedup_minhash_lsh(spark, sf):
     pipeline; candidates per band bucket only.
     """
     sh = _shingles(spark, sf).cache()
-    # Single-pass signatures: one groupBy(doc_id) computing all 16 mins as
-    # columns — no 16x explode before the shuffle (r01 plan audit: the
-    # explode multiplied the shingle table x16; partial aggregation now
-    # collapses each map partition to one 16-column row per doc).
-    # minhash i = min over shingles of md5(i || ':' || shingle).
-    sig = sh.groupBy("doc_id").agg(*[
-        F.min(
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-        ).alias(f"mh{i}")
+    # Single-pass signatures: ONE md5 per shingle (31-bit truncation) fanned
+    # into 16 affine permutations h_i = (a_i*x + b_i) mod (2^31-1) — exact
+    # int64 arithmetic both engines can reproduce (products < 2^62, so no
+    # overflow divergence) — then one groupBy(doc_id) computing all 16 mins
+    # as columns. No 16x explode, no 16 md5 calls (r01 plan audit: the
+    # explode multiplied the shingle table x16 and md5 dominated CPU).
+    x = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    hashed = sh.select("doc_id", x.alias("x"))
+    sig = hashed.groupBy("doc_id").agg(*[
+        F.min((F.lit(_MH_A[i]) * F.col("x") + F.lit(_MH_B[i])) % F.lit(_MH_P))
+        .alias(f"mh{i}")
         for i in range(N_MINHASH)
     ])
-    # band_hash must stay byte-identical to the oracle's (md5 of the
-    # lexicographically sorted "h=minhash" strings joined by ',')
+    # band_hash stays md5 of the sorted "h=minhash" strings, matching the
+    # oracle byte for byte
     rows_per_band = N_MINHASH // LSH_BANDS
     band_structs = []
     for b in range(LSH_BANDS):
         elems = [
-            F.concat(F.lit(f"{h}="), F.col(f"mh{h}"))
+            F.concat(F.lit(f"{h}="), F.col(f"mh{h}").cast("string"))
             for h in range(b * rows_per_band, (b + 1) * rows_per_band)
         ]
         band_structs.append(F.struct(
@@ -670,18 +678,39 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
+def _minhash_band_sql() -> str:
+    """band_sig CTE body mirroring the Spark affine-minhash plan exactly."""
+    mh_cols = ",\n         ".join(
+        f"MIN(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P}) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    rpb = N_MINHASH // LSH_BANDS
+    bands = []
+    for b in range(LSH_BANDS):
+        elems = ", ".join(
+            f"'{h}=' || CAST(mh{h} AS VARCHAR)"
+            for h in range(b * rpb, (b + 1) * rpb)
+        )
+        bands.append(
+            f"  SELECT doc_id, {b} AS band,\n"
+            f"         md5(array_to_string(list_sort([{elems}]), ',')) AS band_hash\n"
+            f"  FROM sig"
+        )
+    return (
+        "hashed AS (\n"
+        "  SELECT doc_id,\n"
+        "         CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS x\n"
+        "  FROM sh\n"
+        "),\n"
+        f"sig AS (SELECT doc_id,\n         {mh_cols}\n"
+        "  FROM hashed GROUP BY doc_id),\n"
+        "band_sig AS (\n" + "\n  UNION ALL\n".join(bands) + "\n)"
+    )
+
+
 Q_DEDUP_MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-hashed AS (
-  SELECT doc_id, i AS h, md5(CAST(i AS VARCHAR) || ':' || shingle) AS v
-  FROM sh, LATERAL (SELECT unnest(range(0, {N_MINHASH})) AS i)
-),
-sig AS (SELECT doc_id, h, MIN(v) AS mh FROM hashed GROUP BY doc_id, h),
-band_sig AS (
-  SELECT doc_id, CAST(FLOOR(h / {LSH_BANDS}) AS INT) AS band,
-         md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || '=' || mh)), ',')) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(FLOOR(h / {LSH_BANDS}) AS INT)
-),
+{_minhash_band_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM band_sig a JOIN band_sig b
@@ -719,10 +748,12 @@ def q_dedup_simhash(spark, sf):
     """
     d = _t(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
-    hashed = toks.select(
+    # md5 computed ONCE per token (projection boundary forces CSE), then
+    # split into the two 60-bit halves
+    hashed = toks.select("doc_id", F.md5("t").alias("m")).select(
         "doc_id",
-        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(F.md5("t"), 16, 15), 16, 10).cast("long").alias("h2"),
+        F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("m", 16, 15), 16, 10).cast("long").alias("h2"),
     )
     aggs = [F.count("*").alias("n")]
     for half in (1, 2):
