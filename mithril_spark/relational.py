@@ -853,6 +853,147 @@ SELECT doc_a, doc_b,
 FROM cand WHERE bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) <= 8
 """
 
+# Embedding-cosine near-dup: deterministic random-hyperplane LSH blocking
+# + exact integer verification (the last dedup family from the brief).
+_EMB_BITS = 16
+_EMB_BANDS = 4  # 4 bits per band
+_EMB_T2 = 16    # cos >= sqrt(T2/100) = 0.4 (chosen non-vacuous on testdata)
+
+
+def _emb_w(i, j):
+    """Deterministic integer hyperplane weight, identical in both engines."""
+    return (1103515245 * (i * 97 + j * 31 + 7)) % 65536 - 32768
+
+
+def q_dedup_embedding(spark, sf):
+    """Embedding near-dup pairs: hyperplane-LSH candidates, exact verify.
+
+    Sign bits come from integer dot products against DETERMINISTIC integer
+    hyperplanes (no RNG — both engines recompute them bit-for-bit), banded
+    4x4 bits so candidates join on (band, band_val) buckets; verification
+    is the exact integer test dot>0 AND 100*dot^2 >= T2*|a|^2*|b|^2
+    (cos >= 0.4) on the 1e3-quantized vectors — order-independent, no
+    doubles. Recall is the standard SRP-LSH curve: ~99% at cos 0.95, lower
+    near the threshold (a pair is reported iff it shares >= 1 band AND
+    verifies — deterministic semantics both engines reproduce exactly).
+    """
+    q = _quantized(spark, sf).select("vec_id", "q")
+
+    def dot_j(j):
+        return F.aggregate(
+            F.transform(
+                F.col("q"),
+                lambda x, i: x * (
+                    (F.lit(1103515245) * (i.cast("long") * 97 + j * 31 + 7))
+                    % 65536 - 32768
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    sig = q.select(
+        "vec_id", "q",
+        *[(dot_j(j) >= 0).cast("int").alias(f"s{j}") for j in range(_EMB_BITS)],
+    )
+    bits_per_band = _EMB_BITS // _EMB_BANDS
+    band_structs = []
+    for b in range(_EMB_BANDS):
+        val = F.lit(0)
+        for k in range(bits_per_band):
+            val = val + F.col(f"s{b * bits_per_band + k}") * (1 << k)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), val.alias("band_val"))
+        )
+    bands = sig.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"),
+             F.col("bb.band_val").alias("band_val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    qa = q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    qb = q.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.aggregate(
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(qa, "vec_a").join(qb, "vec_b")
+        .select(
+            "vec_a", "vec_b", dot.alias("dot"),
+            norm("qa").alias("norm_a"), norm("qb").alias("norm_b"),
+        )
+        .filter((F.col("dot") > 0)
+                & (100 * F.col("dot") * F.col("dot")
+                   >= _EMB_T2 * F.col("norm_a") * F.col("norm_b")))
+    )
+
+
+def _emb_sql() -> str:
+    sig_cols = []
+    for j in range(_EMB_BITS):
+        expr = (f"list_sum(list_transform(range(1, len(qv) + 1), "
+                f"i -> qv[i] * ((1103515245 * ((i - 1) * 97 + {j * 31 + 7})) "
+                f"% 65536 - 32768)))")
+        sig_cols.append(f"CASE WHEN {expr} >= 0 THEN 1 ELSE 0 END AS s{j}")
+    bpb = _EMB_BITS // _EMB_BANDS
+    band_rows = []
+    for b in range(_EMB_BANDS):
+        val = " + ".join(f"s{b * bpb + k} * {1 << k}" for k in range(bpb))
+        band_rows.append(f"  SELECT vec_id, {b} AS band, {val} AS band_val FROM sig")
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sig AS (SELECT vec_id, {", ".join(sig_cols)} FROM q),
+bands AS (
+{chr(10).join(r + (" UNION ALL" if i < len(band_rows) - 1 else "") for i, r in enumerate(band_rows))}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+  FROM q
+)
+SELECT c.vec_a, c.vec_b,
+       CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                     i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+       na.nrm AS norm_a, nb.nrm AS norm_b
+FROM cand c
+JOIN q a ON a.vec_id = c.vec_a
+JOIN q b ON b.vec_id = c.vec_b
+JOIN norms na ON na.vec_id = c.vec_a
+JOIN norms nb ON nb.vec_id = c.vec_b
+WHERE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                    i -> a.qv[i] * b.qv[i])) AS BIGINT) > 0
+  AND 100 * CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                          i -> a.qv[i] * b.qv[i])) AS BIGINT)
+          * CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                          i -> a.qv[i] * b.qv[i])) AS BIGINT)
+      >= {_EMB_T2} * na.nrm * nb.nrm
+"""
+
+
+Q_DEDUP_EMBEDDING_SQL = _emb_sql()
+
+
 # --------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # --------------------------------------------------------------------------
@@ -993,6 +1134,7 @@ QUERIES: dict[str, tuple] = {
     "q_dedup_jaccard": (q_dedup_jaccard, Q_DEDUP_JACCARD_SQL),
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
     "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
+    "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
     "q_ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
 }
