@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--cores", type=int, default=None,
                     help="local[] cores; omit under spark-submit on a cluster")
+    ap.add_argument("--pagerank", action="store_true",
+                    help="compute real PageRank into doc_map.pagerank")
     args = ap.parse_args()
 
     from mithril_spark.session import get_spark
@@ -59,7 +61,7 @@ def main() -> None:
 
     t0 = time.time()
     res = build_index(pages, args.out, num_shards=args.shards,
-                      num_buckets=args.buckets)
+                      num_buckets=args.buckets, pagerank=args.pagerank)
     dt = time.time() - t0
     print(json.dumps({"docs": n, "seconds": round(dt, 2),
                       "docs_per_sec": round(n / dt, 1), "meta": res["meta"]}))

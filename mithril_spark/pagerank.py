@@ -86,22 +86,27 @@ def spark_pagerank(
     links,
     nodes,
     max_iterations: int = MAX_ITERATIONS,
-    checkpoint_every: int = 10,
+    local_threshold: int = 2_000_000,
 ):
-    """Distributed fixed-point PageRank.
+    """Fixed-point PageRank, size-adaptive like a broadcast join.
 
     ``links``: DataFrame(src binary, dst binary), one row per link
     occurrence. ``nodes``: DataFrame(node binary), every url in the graph
     (documents + link targets). Returns DataFrame(node binary, rank_fp
-    long, pagerank double) with bit-identical rank_fp to the numpy twin.
+    long, pagerank double), bit-identical on either path (the arithmetic
+    is exact int64, see module docstring):
 
-    Plan per iteration: contributions = edges x ranks join on src (edges
-    cached pre-partitioned on src so the join reuses one side's shuffle),
-    then groupBy(dst).sum — exact int64, order-free — then a left join back
-    onto nodes for teleport-only nodes. Lineage is cut with
-    localCheckpoint every ``checkpoint_every`` iterations; the L1
-    convergence test is one tiny agg per iteration (the reference checks
-    it every iteration too).
+    * graphs at or under ``local_threshold`` edges run the numpy twin on
+      the driver — PageRank needs ~log(N)/log(1/d) global iterations, and
+      at small scale the per-iteration Spark job floor dominates; the
+      reference itself runs PageRank in one process
+      (ranking/src/PageRank.cpp);
+    * larger graphs run distributed: per iteration, contributions =
+      edges x ranks join on src (edges cached pre-partitioned on src),
+      groupBy(dst).sum (exact int64, order-free), a left join back onto
+      nodes for teleport-only nodes, and an EAGER localCheckpoint so each
+      iteration materializes once — no O(k^2) lineage recompute — plus
+      one tiny L1-diff agg (the reference checks every iteration too).
     """
     from pyspark.sql import functions as F
 
@@ -112,6 +117,23 @@ def spark_pagerank(
         return spark.createDataFrame(
             [], "node binary, rank_fp long, pagerank double"
         )
+    n_edges = links.count()
+    if n_edges <= local_threshold:
+        edge_rows = [
+            (bytes(r["src"]), bytes(r["dst"]))
+            for r in links.select("src", "dst").collect()
+        ]
+        node_list = sorted(bytes(r["node"]) for r in nodes.collect())
+        ranks_by_url = pagerank_fixed_numpy(edge_rows, node_list,
+                                            max_iterations)
+        fp = np.array([ranks_by_url[u] for u in node_list], dtype=np.int64)
+        std = standardize_numpy(fp)
+        return spark.createDataFrame(
+            [(u, int(f), float(s))
+             for u, f, s in zip(node_list, fp.tolist(), std.tolist())],
+            "node binary, rank_fp long, pagerank double",
+        )
+
     outdeg = links.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges = links.join(outdeg, "src").repartition("src").cache()
     edges.count()
@@ -122,7 +144,7 @@ def spark_pagerank(
     ranks = nodes.select("node", F.lit(init).cast("long").alias("r"))
     ranks = ranks.localCheckpoint()
 
-    for it in range(max_iterations):
+    for _it in range(max_iterations):
         contrib = edges.join(
             ranks, edges["src"] == ranks["node"]
         ).select(
@@ -139,16 +161,17 @@ def spark_pagerank(
                     + F.lit(tel)
                 ).cast("long").alias("r"),
             )
+            .localCheckpoint()  # eager: one materialization per iteration
         )
-        if (it + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint()
         diff = (
             new_ranks.alias("a")
             .join(ranks.alias("b"), "node")
             .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("d"))
             .collect()[0]["d"]
         )
+        old_ranks = ranks
         if diff is not None and int(diff) < tol:
+            ranks = old_ranks
             break  # reference quirk: keep the PREVIOUS ranks
         ranks = new_ranks
 

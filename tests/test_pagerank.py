@@ -90,14 +90,17 @@ def test_spark_pagerank_equals_numpy_twin(spark, corpus):
     if not edges:
         pytest.skip("fixture corpus produced no links")
     nodes_df = spark.createDataFrame([(u,) for u in nodes], "node binary")
-    got_rows = spark_pagerank(links_df, nodes_df).collect()
-    got = {bytes(r["node"]): int(r["rank_fp"]) for r in got_rows}
-    assert got == want  # exact int64 equality, any partitioning
-
     std_want = standardize_numpy(np.array([want[u] for u in nodes]))
-    std_got = {bytes(r["node"]): float(r["pagerank"]) for r in got_rows}
-    for u, v in zip(nodes, std_want):
-        assert std_got[u] == v, u  # bit-identical doubles
+    # both the driver-local path (default threshold) and the distributed
+    # iterative path (threshold 0) must equal the numpy twin EXACTLY
+    for threshold in (2_000_000, 0):
+        got_rows = spark_pagerank(links_df, nodes_df,
+                                  local_threshold=threshold).collect()
+        got = {bytes(r["node"]): int(r["rank_fp"]) for r in got_rows}
+        assert got == want, threshold  # exact int64, any partitioning
+        std_got = {bytes(r["node"]): float(r["pagerank"]) for r in got_rows}
+        for u, v in zip(nodes, std_want):
+            assert std_got[u] == v, (threshold, u)  # bit-identical doubles
 
 
 def test_index_pagerank_rank_identity(spark, corpus, tmp_path_factory):
