@@ -546,6 +546,33 @@ def build_index(
     )
     m["finished"] = time.time() - t_start
 
+    # --- per-partition lineage counters (north_rule: docs tokenized,
+    # postings emitted, bytes compressed, logged to a metrics table) ---
+    m = phase("counters")
+    meta_path = os.path.join(out_dir, "index_meta.json")
+    counters = None
+    if not force and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            counters = json.load(f).get("counters")  # resume: reuse
+    if counters is None:
+        post = spark.read.parquet(os.path.join(out_dir, "postings"))
+        crow = post.agg(
+            F.count("*").alias("blocks"),
+            F.sum("doc_count").alias("postings"),
+            F.sum(F.length("doc_ids_enc") + F.length("freqs_enc")).alias("bytes"),
+        ).collect()[0]
+        counters = {
+            "docs_tokenized": int(total_docs),
+            "posting_blocks": int(crow["blocks"] or 0),
+            "postings_emitted": int(crow["postings"] or 0),
+            "posting_bytes_compressed": int(crow["bytes"] or 0),
+        }
+        m["ran"] = True
+    else:
+        m["ran"] = False
+    m.update(counters)
+    m["finished"] = time.time() - t_start
+
     # --- metadata + metrics ---
     meta = {
         "total_docs": total_docs,
@@ -554,6 +581,7 @@ def build_index(
         "num_buckets": num_buckets,
         "block_size": BLOCK_SIZE,
         "salt_range": SALT_RANGE,
+        "counters": counters,
     }
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
@@ -561,8 +589,12 @@ def build_index(
     result = {"meta": meta, "phases": metrics, "wall_s": time.time() - t_start}
     metrics_df = spark.createDataFrame(
         [(mm["phase"], float(mm["started"]), float(mm.get("finished", 0.0)),
-          bool(mm.get("ran", False))) for mm in metrics],
-        "phase string, started double, finished double, ran boolean",
+          bool(mm.get("ran", False)),
+          int(mm.get("docs_tokenized", 0)), int(mm.get("postings_emitted", 0)),
+          int(mm.get("posting_bytes_compressed", 0)))
+         for mm in metrics],
+        "phase string, started double, finished double, ran boolean, "
+        "docs_tokenized long, postings_emitted long, bytes_compressed long",
     )
     _write_once(metrics_df, os.path.join(out_dir, "build_metrics"), force=True)
     return result
