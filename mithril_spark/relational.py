@@ -497,21 +497,27 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
 
 
 def _shingles(spark, sf, k=3):
-    """Distinct word k-gram shingles per doc (md5'd), as a reusable block."""
+    """Distinct word k-gram shingles per doc (md5'd), as a reusable block.
+
+    md5 runs AFTER the distinct on the raw k-gram (identical output set —
+    md5 is injective on these inputs — but ~10x fewer hash calls), and the
+    k-gram is built from element_at lookups instead of array slices (no
+    per-position array allocation)."""
     d = _t(spark, sf, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
-    sh = toks.select(
+    raw = toks.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("toks") - k),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice("toks", i + 1, k))
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", (i + 1 + j).cast("int"))
+                           for j in range(k)]
                 ),
             )
-        ).alias("shingle"),
+        ).alias("raw"),
     ).distinct()
-    return sh
+    return raw.select("doc_id", F.md5("raw").alias("shingle"))
 
 
 _SHINGLES_SQL = """
@@ -746,6 +752,20 @@ def q_dedup_simhash(spark, sf):
       and the smallest band now has 4096 values (vs 128), so the candidate
       join is O(n^2/4096) worst case instead of /128.
     """
+    cand = _simhash_candidates(_simhash_sketches(spark, sf))
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("s1a").bitwiseXOR(F.col("s1b")))
+            + F.bit_count(F.col("s2a").bitwiseXOR(F.col("s2b"))),
+        )
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def _simhash_sketches(spark, sf):
+    """(doc_id, sim1, sim2) 120-bit sketches for every document."""
     d = _t(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
     # md5 computed ONCE per token (projection boundary forces CSE), then
@@ -774,7 +794,12 @@ def q_dedup_simhash(spark, sf):
             ).otherwise(F.lit(0).cast("long"))
         return expr
 
-    sim = votes.select("doc_id", _sim(1).alias("sim1"), _sim(2).alias("sim2"))
+    return votes.select("doc_id", _sim(1).alias("sim1"), _sim(2).alias("sim2"))
+
+
+def _simhash_candidates(sim):
+    """Banded candidate pairs from (doc_id, sim1, sim2) sketches — split out
+    so the sub-quadratic candidate-count property is directly testable."""
     band_structs = []
     for i in range(4):  # half 1: 4 bands x 15 bits
         band_structs.append(F.struct(
@@ -794,7 +819,7 @@ def q_dedup_simhash(spark, sf):
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_val") == F.col("b.band_val"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -804,15 +829,6 @@ def q_dedup_simhash(spark, sf):
             F.col("b.sim1").alias("s1b"), F.col("b.sim2").alias("s2b"),
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("s1a").bitwiseXOR(F.col("s1b")))
-            + F.bit_count(F.col("s2a").bitwiseXOR(F.col("s2b"))),
-        )
-        .filter(F.col("hamming") <= 8)
-        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
 
