@@ -560,22 +560,7 @@ def q_dedup_jaccard(spark, sf):
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ash = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    bsh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(ash, "doc_a").join(bsh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-        .filter(F.col("inter") * 10 >= F.col("uni") * 8)  # jaccard >= 0.8
-        .select("doc_a", "doc_b", "inter", "uni")
-    )
+    return _verify_jaccard(cand, sh, 8, 10)
 
 
 Q_DEDUP_JACCARD_SQL = f"""
@@ -613,6 +598,32 @@ LSH_BANDS = 4  # 4 rows per band
 _MH_P = 2147483647
 _MH_A = [769_12_341 + 2_654_435_761 * i % 1_000_003_519 for i in range(N_MINHASH)]
 _MH_B = [97 + 40_503 * i for i in range(N_MINHASH)]
+
+
+def _verify_jaccard(cand, sh, t_num: int, t_den: int):
+    """Exact jaccard verification of candidate pairs (threshold t_num/t_den).
+
+    One groupBy packs each doc's distinct shingles into a sorted array;
+    the tiny candidate table then joins against it twice (AQE broadcasts
+    the candidate side — the shingle table never reshuffles per side) and
+    the intersection is computed with array_intersect. Values identical to
+    the row-level count, with one shuffle instead of three.
+    """
+    doc_arr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"),
+        F.count("*").alias("sz"),
+    )
+    aa = doc_arr.select(F.col("doc_id").alias("doc_a"),
+                        F.col("arr").alias("arr_a"), F.col("sz").alias("sz_a"))
+    bb = doc_arr.select(F.col("doc_id").alias("doc_b"),
+                        F.col("arr").alias("arr_b"), F.col("sz").alias("sz_b"))
+    return (
+        cand.join(aa, "doc_a").join(bb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long"))
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf):
@@ -664,24 +675,7 @@ def q_dedup_minhash_lsh(spark, sf):
         .distinct()
     )
     # verify candidates with true jaccard >= 0.5
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ash = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    bsh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(ash, "doc_a").join(bsh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    # sizes is one row per doc — not broadcastable at corpus scale; the
-    # inter side is tiny (verified candidates), so AQE broadcasts THAT.
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-        .filter(F.col("inter") * 2 >= F.col("uni"))
-        .select("doc_a", "doc_b", "inter", "uni")
-    )
+    return _verify_jaccard(cand, sh, 1, 2)
 
 
 def _minhash_band_sql() -> str:
