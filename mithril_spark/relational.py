@@ -475,6 +475,89 @@ FROM (
 )
 """
 
+_BM25_TERMS = ("spark", "query", "join")
+
+
+def q_doc_bm25_topk(spark, sf):
+    """BM25 top-20 over `documents` for a fixed 3-term query (k1=1.2,
+    b=0.75, clamp 6 -> /6, the reference formula, BM25.cpp:36-99).
+
+    Cross-engine exactness: every per-row float op is written in the SAME
+    textual order as the oracle SQL (IEEE ops are deterministic
+    elementwise); the only transcendental, ln(idf), runs through libm on
+    both sides (python math.log here, DuckDB ln there), and the emitted
+    score is quantized to 1e-6 so an off-by-ulp could not flip the hash.
+    """
+    import math
+
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[F.sum((F.col("t") == term).cast("long")).alias(f"tf{i}")
+          for i, term in enumerate(_BM25_TERMS)],
+    )
+    st = per.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(_BM25_TERMS))],
+    ).collect()[0]
+    n = int(st["n"])
+    avgdl = int(st["tdl"]) / n  # exact-int division, identical both engines
+    norm = 0.25 + 0.75 * (F.col("dl") / F.lit(avgdl))
+    contribs = []
+    for i in range(len(_BM25_TERMS)):
+        df = int(st[f"df{i}"])
+        idf = math.log((n - df + 0.5) / (df + 0.5))  # libm, like DuckDB ln
+        tfc = F.col(f"tf{i}") / norm
+        s = F.least(F.lit(idf) * (tfc * 2.2) / (tfc + 1.2), F.lit(6.0)) / 6.0
+        contribs.append(F.when(F.col(f"tf{i}") > 0, s).otherwise(F.lit(0.0)))
+    score = contribs[0] + contribs[1] + contribs[2]  # fixed summation order
+    return (
+        per.withColumn("score_q", F.round(score * 1e6).cast("long"))
+        .filter((F.col("tf0") > 0) | (F.col("tf1") > 0) | (F.col("tf2") > 0))
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .select("doc_id", "dl", "tf0", "tf1", "tf2", "score_q")
+        .limit(20)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN t = '{term}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS)))
+    contribs = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        tfc = f"(p.tf{i} / (0.25 + 0.75 * (p.dl / (CAST(s.tdl AS DOUBLE) / s.n))))"
+        contribs.append(
+            f"CASE WHEN p.tf{i} > 0 THEN "
+            f"LEAST({idf} * ({tfc} * 2.2) / ({tfc} + 1.2), 6.0) / 6.0 "
+            f"ELSE 0.0 END"
+        )
+    return f"""
+WITH per AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+  GROUP BY doc_id
+),
+s AS (SELECT COUNT(*) AS n, SUM(dl) AS tdl, {df_cols} FROM per)
+SELECT p.doc_id, p.dl, p.tf0, p.tf1, p.tf2,
+       CAST(round(({contribs[0]} + {contribs[1]} + {contribs[2]}) * 1e6) AS BIGINT) AS score_q
+FROM per p, s
+WHERE p.tf0 > 0 OR p.tf1 > 0 OR p.tf2 > 0
+ORDER BY score_q DESC, p.doc_id ASC
+LIMIT 20
+"""
+
+
+Q_DOC_BM25_SQL = _bm25_sql()
+
+
 # --------------------------------------------------------------------------
 # Deduplication suite over `documents`
 # --------------------------------------------------------------------------
@@ -1137,6 +1220,7 @@ QUERIES: dict[str, tuple] = {
     "q_events_sessionize": (q_events_sessionize, Q_EVENTS_SESSIONIZE_SQL),
     "q_doc_term_df": (q_doc_term_df, Q_DOC_TERM_DF_SQL),
     "q_doc_search_tf": (q_doc_search_tf, Q_DOC_SEARCH_TF_SQL),
+    "q_doc_bm25_topk": (q_doc_bm25_topk, Q_DOC_BM25_SQL),
     "q_token_stats": (q_token_stats, Q_TOKEN_STATS_SQL),
     "q_text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
     "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
