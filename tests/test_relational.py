@@ -1,25 +1,32 @@
-"""Every queries() entry must match its DuckDB oracle (the driver's gate)."""
+"""Every queries() entry must match its DuckDB oracle (the driver's gate).
+
+Runs at BOTH sf0.001 and sf0.01 — the driver grades at sf0.01, and two of
+the round-1 ADVICE findings were boundary divergences latent at the
+smaller scale only.
+"""
 
 import duckdb
 import pytest
 
 from mithril_spark.relational import QUERIES
 
-SF = "/root/testdata/sf0.001"
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
 
-@pytest.fixture(scope="module")
-def duck():
+@pytest.fixture(scope="module", params=SFS, ids=["sf0.001", "sf0.01"])
+def sf_duck(request):
+    sf = request.param
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"create view {t} as select * from parquet_scan('{SF}/{t}.parquet')"
+            f"create view {t} as select * from parquet_scan('{sf}/{t}.parquet')"
         )
-    yield con
+    yield sf, con
+    con.close()
 
 
 def _canon(df):
@@ -30,9 +37,10 @@ def _canon(df):
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, duck, name):
+def test_query_matches_oracle(spark, sf_duck, name):
+    sf, duck = sf_duck
     fn, sql = QUERIES[name]
-    got = _canon(fn(spark, SF).toPandas())
+    got = _canon(fn(spark, sf).toPandas())
     want = _canon(duck.execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns), "column names diverge"
     assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
