@@ -289,3 +289,67 @@ def test_rankers_bit_identical(rank_driver):
         cpp = struct.unpack("<f", struct.pack("<I", int(out[i], 16)))[0]
         i += 1
         assert cpp == float(F32(ordered_match_score([(w, 1) for w in q], t)))
+
+
+# --- query lexer (query/src/Lexer.cpp) ---
+
+@pytest.fixture(scope="module")
+def lex_driver(tmp_path_factory):
+    return _compile(
+        tmp_path_factory, "lex_driver",
+        ["tests/cpp_ref/lex_driver.cpp", f"{REF}/query/src/Lexer.cpp"],
+        [f"{REF}/query/src"],
+    )
+
+
+_LEX_QUERIES_EXTRA = [
+    '"unterminated', "'also unterminated", "(((", ")", "a:b", "title:",
+    "title:x", "url:github desc:y anchor:z", "AND OR NOT", "andlow",
+    "TITLE:x", "  spaced   out  ", "wei\trd\ntokens", "a(b)c",
+    "mix \"q\" 'p' (w)", "", "::", "x'y", 'x"y z" w', "foo|bar=1 2.5 %41",
+    "NOT(a)", "a AND(b OR c)", "anchor:x'", 'desc:"q"', "'a b' 'c d'",
+]
+
+
+def test_query_lexer_token_identical(lex_driver):
+    """Token streams (type + value) must match the compiled reference lexer;
+    on malformed input BOTH sides must reject (the reference emits its
+    prefix tokens before throwing — the parser aborts to [] either way, so
+    the observable contract is reject-vs-reject)."""
+    from mithril_spark.fixtures import QUERY_SET
+    from mithril_spark.query import grammar as g
+
+    # C++ TokenType order (query/src/Token.h:7-22)
+    cpp_type = {g.WORD: 0, g.QUOTE: 1, g.PHRASE: 2, g.FIELD: 3, g.TITLE: 4,
+                g.URL: 5, g.ANCHOR: 6, g.DESC: 7, g.OPERATOR: 10,
+                g.LPAREN: 11, g.RPAREN: 12, g.EOFTOKEN: 13}
+    queries = list(QUERY_SET) + _LEX_QUERIES_EXTRA
+    inp = b"".join(b"%d\n%s\n" % (len(q.encode()), q.encode())
+                   for q in queries)
+    out = subprocess.run([lex_driver], input=inp, capture_output=True,
+                         timeout=120).stdout
+    i, docs, cur = 0, [], []
+    while i < len(out):
+        nl = out.index(b"\n", i)
+        header = out[i:nl].decode().split()
+        if header[0] == "E":
+            docs.append(cur)
+            cur = []
+            i = nl + 1
+        else:
+            n = int(header[-1])
+            tt = int(header[1]) if header[0] == "T" else -1
+            cur.append((tt, out[nl + 1:nl + 1 + n]))
+            i = nl + 1 + n + 1
+    assert len(docs) == len(queries)
+    for q, cpp_toks in zip(queries, docs):
+        cpp_fail = any(tt == -1 for tt, _v in cpp_toks)
+        try:
+            py = [(cpp_type[t.type], t.value.encode())
+                  for t in g.lex(q)] + [(13, b"")]
+            py_fail = False
+        except g.ParseException:
+            py_fail = True
+        assert py_fail == cpp_fail, (q, cpp_toks[:3])
+        if not py_fail:
+            assert cpp_toks == py, (q, cpp_toks, py)
