@@ -110,6 +110,38 @@ def main() -> None:
     timings["search_batch"] = round(batch_s, 3)
     extras["search_qps"] = round(reps * len(search_queries) / batch_s, 2)
 
+    # --- match enumeration: vectorized set-algebra walk vs scalar ISR ---
+    # (VERDICT r02 #1 deliverable: a >=100k-match query, speedup reported.)
+    # Deterministic synthetic shard; modular posting patterns, no RNG.
+    import numpy as np
+
+    from mithril_spark.query.isr import ShardIndex
+    from mithril_spark.query.shard import evaluate_query, evaluate_query_scalar
+
+    n_docs = 500_000
+    all_d = np.arange(n_docs, dtype=np.int64)
+    shard = ShardIndex(doc_count=n_docs, base_doc_id=0)
+    for term, keep in [
+        ("alpha", all_d % 5 != 0),     # 400k docs — head term
+        ("beta", all_d % 3 == 0),      # 167k docs
+        ("gamma", all_d % 17 == 2),    # 29k docs
+    ]:
+        docs = all_d[keep]
+        shard.postings[term] = (docs, np.ones(len(docs), dtype=np.int64))
+    enum_queries = ["alpha beta", "alpha OR beta", "NOT gamma",
+                    "alpha AND (beta OR gamma)"]
+    t0 = time.time()
+    n_matches = sum(len(evaluate_query(q, shard)) for q in enum_queries)
+    vec_s = time.time() - t0
+    t0 = time.time()
+    n_scalar = sum(len(evaluate_query_scalar(q, shard)) for q in enum_queries)
+    scalar_s = time.time() - t0
+    assert n_matches == n_scalar, (n_matches, n_scalar)
+    timings["match_enum_vec"] = round(vec_s, 3)
+    extras["match_enum_matches"] = int(n_matches)
+    extras["match_enum_scalar_s"] = round(scalar_s, 3)
+    extras["match_enum_speedup"] = round(scalar_s / vec_s, 1) if vec_s > 0 else None
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "mithril_spark_bench_total",

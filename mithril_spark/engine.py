@@ -43,10 +43,11 @@ import json
 import os
 import pickle
 
+import numpy as np
 import pandas as pd
 
 from .query import grammar as g
-from .query.isr import DocMeta, ShardIndex
+from .query.isr import DocMapCols, DocMeta, ShardIndex
 from .query.shard import evaluate_query, handle_ranking, top_k_from_sorted_lists
 from .ranking import tokenify_query
 
@@ -74,19 +75,47 @@ def plan_terms(query: str) -> tuple[set[str], set[str], list]:
 
 
 def _pack_docmap(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One shard's doc_map rows -> pickled columnar image (v2).
+
+    The payload is the column set of query/isr.py::DocMapCols — numpy
+    arrays for every numeric column (``to_numpy``, no per-row Python) and
+    flat lists for urls/titles. Replaces the r2 dict-of-tuples image built
+    via ``itertuples`` (VERDICT r02 #4): at 10M docs/shard the dict pickle
+    took minutes of Python and GBs; the columnar image builds in Arrow/numpy
+    time and serves ranking lookups with one ``searchsorted`` per batch.
+    """
     shard = int(pdf["shard"].iloc[0])
+    order = np.argsort(pdf["local_id"].to_numpy(), kind="stable")
+    pdf = pdf.iloc[order]
+    n = len(pdf)
     has_srank = "static_rank" in pdf.columns  # absent in pre-r2 indexes
-    entries = {}
-    for row in pdf.itertuples(index=False):
-        entries[int(row.doc_id)] = (
-            bytes(row.url),
-            [bytes(t) for t in row.title],
-            int(row.body_len), int(row.title_len),
-            int(row.url_len), int(row.desc_len), float(row.pagerank),
-            float(row.static_rank) if has_srank else None,
-        )
+    titles = [[bytes(t) for t in tw] for tw in pdf["title"]]
+    img = {
+        "v": 2,
+        "local_ids": pdf["local_id"].to_numpy(dtype=np.int64),
+        "urls": [bytes(u) for u in pdf["url"]],
+        "titles": titles,
+        "title_counts": np.fromiter((len(tw) for tw in titles), np.int64, n),
+        "body_lens": pdf["body_len"].to_numpy(dtype=np.int64),
+        "title_lens": pdf["title_len"].to_numpy(dtype=np.int64),
+        "url_lens": pdf["url_len"].to_numpy(dtype=np.int64),
+        "desc_lens": pdf["desc_len"].to_numpy(dtype=np.int64),
+        "pageranks": pdf["pagerank"].to_numpy(dtype=np.float64),
+        "static_ranks": (
+            pdf["static_rank"].to_numpy(dtype=np.float64) if has_srank else None
+        ),
+    }
     return pd.DataFrame(
-        {"shard": [shard], "docmap": [pickle.dumps(entries, protocol=4)]}
+        {"shard": [shard], "docmap": [pickle.dumps(img, protocol=4)]}
+    )
+
+
+def _docmap_cols(img: dict) -> DocMapCols:
+    return DocMapCols(
+        img["local_ids"], img["urls"], img["titles"], img["body_lens"],
+        img["title_lens"], img["url_lens"], img["desc_lens"],
+        img["pageranks"], img["static_ranks"],
+        title_counts=img.get("title_counts"),
     )
 
 
@@ -422,9 +451,15 @@ class SearchEngine:
             if st is not None and pl and pl["P"]:
                 docmap = pickle.loads(docmap_bytes)
                 base = shard_id * shard_size
-                body_lens = {
-                    doc_id - base: meta[2] for doc_id, meta in docmap.items()
-                }
+                if isinstance(docmap, dict) and docmap.get("v") == 2:
+                    body_lens = dict(zip(
+                        docmap["local_ids"].tolist(),
+                        docmap["body_lens"].tolist(),
+                    ))
+                else:
+                    body_lens = {
+                        doc_id - base: meta[2] for doc_id, meta in docmap.items()
+                    }
                 term_blocks = _payload_blocks(pl["P"])
                 avg = (
                     st["total_body"] / st["doc_count"]
@@ -565,33 +600,40 @@ def _build_shard(
             shard.extra_doc_freqs[term] = df
 
     if payload:
+        # postings/positions stay numpy end-to-end: decoded block arrays
+        # concatenate directly into the sorted per-term arrays the
+        # vectorized match walk (query/vecisr.py) and ranking batch lookups
+        # consume — no per-posting Python list materialization.
         by_term: dict[str, list] = {}
         for term, salt, block_id, _dc, _fd, _ld, _mf, _mt, de, fe in payload["P"]:
             by_term.setdefault(term, []).append((salt, block_id, de, fe))
         for term, blocks in by_term.items():
             blocks.sort(key=lambda b: (b[0], b[1]))
-            docs: list[int] = []
-            freqs: list[int] = []
-            for _salt, _bid, de, fe in blocks:
-                d, f = decode_posting_block(de, fe)
-                docs.extend(d.tolist())
-                freqs.extend(f.tolist())
+            parts = [decode_posting_block(de, fe) for _s, _b, de, fe in blocks]
+            docs = np.concatenate([p[0] for p in parts]).astype(np.int64)
+            freqs = np.concatenate([p[1] for p in parts]).astype(np.int64)
             shard.postings[term] = (docs, freqs)
         by_term = {}
         for term, salt, de, fe, ce, pe in payload["X"]:
             by_term.setdefault(term, []).append((salt, de, fe, ce, pe))
         for term, blocks in by_term.items():
             blocks.sort(key=lambda b: b[0])
-            docs = []
-            flags: list[int] = []
-            plists: list[list[int]] = []
+            dparts, flparts, plists = [], [], []
             for _salt, de, fe, ce, pe in blocks:
                 d, fl, pl = decode_position_block(de, fe, ce, pe)
-                docs.extend(d.tolist())
-                flags.extend(fl.tolist())
-                plists.extend(p.tolist() for p in pl)
-            shard.positions[term] = (docs, flags, plists)
+                dparts.append(d)
+                flparts.append(fl)
+                plists.extend(pl)
+            shard.positions[term] = (
+                np.concatenate(dparts).astype(np.int64),
+                np.concatenate(flparts).astype(np.int64),
+                plists,
+            )
 
+    if isinstance(docmap, dict) and docmap.get("v") == 2:
+        shard.doc_cols = _docmap_cols(docmap)
+        return shard
+    # legacy (pre-r3) dict-of-tuples image keyed by GLOBAL doc id
     base = shard.base_doc_id
     for doc_id, ent in docmap.items():
         url, title, body_len, title_len, url_len, desc_len, pagerank = ent[:7]

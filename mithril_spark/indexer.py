@@ -530,6 +530,23 @@ def build_index(
     )
     m["finished"] = time.time() - t_start
 
+    # --- Phase 4b: url-sorted document-text sidecar for snippet serving ---
+    # The reference web tier re-reads gzipped crawl chunks via an LRU
+    # (web/src/Snippets.h:28-143 DocumentAccessor). Our serving analog is a
+    # slim (url, title, desc, text) table range-partitioned AND sorted by
+    # url so a top-k snippet fetch (url IN <=50) prunes to a handful of row
+    # groups via parquet min/max — stage_raw is written in extraction order,
+    # where url min/max spans everything and prunes nothing (VERDICT r02 #2).
+    m = phase("doc_text")
+    doc_text = stage.select("url", "title", "desc", "text")
+    m["ran"] = _write_once(
+        doc_text.repartitionByRange(sort_partitions, "url")
+        .sortWithinPartitions("url"),
+        os.path.join(out_dir, "doc_text"),
+        force=force,
+    )
+    m["finished"] = time.time() - t_start
+
     # --- Phase 5: term dictionary (df / cf per shard) ---
     m = phase("term_dict")
     term_dict = (

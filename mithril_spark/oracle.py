@@ -129,7 +129,7 @@ class OracleIndex:
         out: list[int] = []
         for shard in self.shards:
             out.extend(
-                d + shard.base_doc_id for d in evaluate_query(query, shard)
+                int(d) + shard.base_doc_id for d in evaluate_query(query, shard)
             )
         return out
 

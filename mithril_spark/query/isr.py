@@ -32,6 +32,8 @@ from __future__ import annotations
 from bisect import bisect_left
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..text.normalize import (
     ALL,
     ANCHOR,
@@ -62,6 +64,75 @@ class DocMeta:
     static_rank: float | None = None
 
 
+class DocMapCols:
+    """Columnar per-shard doc-map image, aligned on sorted local docids.
+
+    The Spark analog of the reference's mmap'd document map
+    (index/src/DocumentMapReader.cpp:15-100): one ``searchsorted`` resolves
+    a docid to a row, and ranking gathers whole column slices per match
+    batch instead of probing a dict-of-DocMeta per match. Built by
+    ``engine._pack_docmap`` in Arrow/numpy time; the dict ``doc_map`` stays
+    as the oracle-side representation (both must rank identically —
+    tests/test_vec_match.py::test_columnar_docmap_rank_identity).
+    """
+
+    __slots__ = ("local_ids", "urls", "titles", "title_counts", "body_lens",
+                 "title_lens", "url_lens", "desc_lens", "pageranks",
+                 "static_ranks")
+
+    def __init__(self, local_ids, urls, titles, body_lens, title_lens,
+                 url_lens, desc_lens, pageranks, static_ranks,
+                 title_counts=None):
+        self.local_ids = np.asarray(local_ids, dtype=np.int64)  # sorted asc
+        self.urls = urls          # list[bytes], aligned
+        self.titles = titles      # list[list[bytes]], aligned
+        # number of title WORDS per doc (ranking's title_size), distinct
+        # from title_lens (the reference's char-length field)
+        self.title_counts = (
+            np.asarray(title_counts, dtype=np.int64)
+            if title_counts is not None
+            else np.fromiter((len(t) for t in titles), np.int64, len(titles))
+        )
+        self.body_lens = np.asarray(body_lens, dtype=np.int64)
+        self.title_lens = np.asarray(title_lens, dtype=np.int64)
+        self.url_lens = np.asarray(url_lens, dtype=np.int64)
+        self.desc_lens = np.asarray(desc_lens, dtype=np.int64)
+        self.pageranks = np.asarray(pageranks, dtype=np.float64)
+        # None for pre-r2 indexes without the static_rank column
+        self.static_ranks = (
+            None if static_ranks is None
+            else np.asarray(static_ranks, dtype=np.float64)
+        )
+
+    def __len__(self) -> int:
+        return len(self.local_ids)
+
+    def gather(self, m_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(row_index, found_mask) for a sorted-or-not batch of local ids."""
+        ids = self.local_ids
+        if len(ids) == 0:
+            z = np.zeros(len(m_arr), dtype=np.int64)
+            return z, np.zeros(len(m_arr), dtype=bool)
+        idx = np.searchsorted(ids, m_arr)
+        idxc = np.minimum(idx, len(ids) - 1)
+        return idxc, (idx < len(ids)) & (ids[idxc] == m_arr)
+
+    def meta(self, local_id: int) -> DocMeta | None:
+        """Single-doc DocMeta view (scalar oracle path compatibility)."""
+        ids = self.local_ids
+        i = int(np.searchsorted(ids, local_id))
+        if i >= len(ids) or ids[i] != local_id:
+            return None
+        return DocMeta(
+            doc_id=int(local_id), url=self.urls[i], title=self.titles[i],
+            body_len=int(self.body_lens[i]), title_len=int(self.title_lens[i]),
+            url_len=int(self.url_lens[i]), desc_len=int(self.desc_lens[i]),
+            pagerank=float(self.pageranks[i]),
+            static_rank=(None if self.static_ranks is None
+                         else float(self.static_ranks[i])),
+        )
+
+
 @dataclass
 class ShardIndex:
     """One shard's RAM-resident index (the reference mmaps + loads the same)."""
@@ -86,6 +157,11 @@ class ShardIndex:
     # dynamicranker.conf pagerank weight (shipped config: 0.0); a runtime
     # knob so a non-zero-weight config is answerable (VERDICT r01 #6)
     pagerank_weight: float = 0.0
+    # columnar doc-map image (engine path; None = dict doc_map only)
+    doc_cols: "DocMapCols | None" = None
+    # per-term sorted int64 docid arrays for the vectorized match walk
+    # (lazy views of `postings`; query/vecisr.py)
+    _np_docs: dict = field(default_factory=dict, repr=False)
 
     @property
     def avg_body_length(self) -> float:
@@ -98,6 +174,25 @@ class ShardIndex:
         if entry is not None:
             return len(entry[0])
         return self.extra_doc_freqs.get(term, 0)
+
+    def posting_docs_np(self, term: str) -> np.ndarray:
+        """This term's sorted docids as an int64 array (cached view)."""
+        arr = self._np_docs.get(term)
+        if arr is None:
+            entry = self.postings.get(term)
+            arr = (
+                np.asarray(entry[0], dtype=np.int64)
+                if entry is not None
+                else np.empty(0, dtype=np.int64)
+            )
+            self._np_docs[term] = arr
+        return arr
+
+    def get_meta(self, local_id: int) -> DocMeta | None:
+        """Doc metadata by local id — columnar image when present."""
+        if self.doc_cols is not None:
+            return self.doc_cols.meta(local_id)
+        return self.doc_map.get(local_id)
 
     def has_positions(self, term: str, doc_id: int) -> bool:
         entry = self.positions.get(term)
@@ -233,9 +328,8 @@ class TermReaderISR(ISR):
 
     def average_frequency(self) -> float:
         if self._avg_freq is None:
-            self._avg_freq = (
-                sum(self.freqs) / len(self.freqs) if self.freqs else 0.0
-            )
+            n = len(self.freqs)
+            self._avg_freq = (sum(self.freqs) / n) if n else 0.0
         return self._avg_freq
 
 

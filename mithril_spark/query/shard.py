@@ -99,8 +99,11 @@ def generate_isr(node: g.Node, shard: ShardIndex) -> ISR:
     raise ValueError(f"unknown node {node!r}")
 
 
-def evaluate_query(query: str, shard: ShardIndex) -> list[int]:
-    """QueryEngine::EvaluateQuery — ascending docids; any error -> []."""
+def evaluate_query_scalar(query: str, shard: ShardIndex) -> list[int]:
+    """QueryEngine::EvaluateQuery — the literal per-doc ISR walk.
+
+    Kept as the property-test oracle for the vectorized walk
+    (tests/test_vec_match.py); ``evaluate_query`` is the engine default."""
     try:
         tree = g.parse_query(query)
         isr = generate_isr(tree, shard)
@@ -111,6 +114,36 @@ def evaluate_query(query: str, shard: ShardIndex) -> list[int]:
         return results
     except (g.ParseException, IsrError):
         return []
+
+
+def evaluate_query(query: str, shard: ShardIndex):
+    """QueryEngine::EvaluateQuery — ascending docids; any error -> [].
+
+    Engine default: trees whose cursor walk provably equals set algebra
+    (vecisr.vec_eligible — no quote/phrase nodes, no NotISR reachable by a
+    backward seek) are evaluated with whole-array numpy set operations
+    (query/vecisr.py — the zipper/galloping kernels of the reference's
+    query/src/intersect.cpp). Everything else keeps the literal scalar walk
+    with all its positional/stateful quirks. Returns a sorted int64 array
+    on the vectorized path, a list on the scalar path."""
+    from .vecisr import match_docs, vec_eligible
+
+    try:
+        tree = g.parse_query(query)
+    except g.ParseException:
+        return []
+    if not vec_eligible(tree):
+        try:
+            isr = generate_isr(tree, shard)
+            results: list[int] = []
+            while isr.has_next():
+                results.append(isr.current_doc_id())
+                isr.move_next()
+            return results
+        except IsrError:
+            return []
+    arr = match_docs(tree, shard, _FIELD_OF_TOKEN)
+    return [] if arr is None else arr
 
 
 def top_k_elements_fast(
@@ -159,7 +192,7 @@ def handle_ranking_scalar(
     ``matches`` are ascending shard-local docids. Returns the shard's top-50
     as (doc_id, score, url, title_words) ordered by (score desc, doc desc).
     """
-    if not matches:
+    if len(matches) == 0:
         return []
 
     tokens, stopword_idx, nonstopword_idx = tokenify_query(query)
@@ -188,7 +221,7 @@ def handle_ranking_scalar(
     ranked_documents_above_min = 0
 
     for match in matches:
-        meta = shard.doc_map.get(match)
+        meta = shard.get_meta(match)
         if meta is None:
             ranked.append((match, 0, b"", []))
             continue
@@ -277,7 +310,7 @@ def handle_ranking(
     over the score sequence in match order — chunking cannot change the
     output because the counters only ever stop the scan earlier.
     """
-    if not matches:
+    if len(matches) == 0:
         return []
 
     tokens, stopword_idx, nonstopword_idx = tokenify_query(query)
@@ -310,40 +343,83 @@ def handle_ranking(
     ranked: list[tuple[int, int, bytes, list[bytes]]] = []
     stop = False
 
+    cols = shard.doc_cols
     for start in range(0, len(matches), RANK_CHUNK):
         chunk = matches[start:start + RANK_CHUNK]
-        entries: list[tuple[int, object]] = []  # scan order; porn dropped
-        scored: list[tuple[int, object]] = []
-        for m in chunk:
-            meta = shard.doc_map.get(m)
-            if meta is None:
-                entries.append((m, None))
-                continue
-            if contains_porn_keywords_any(meta.title) or contains_porn_keywords(meta.url):
-                continue
-            entries.append((m, meta))
-            scored.append((m, meta))
+        # entries in scan order; payload = (url_bytes, title_list) or None
+        # (missing doc). Porn-filtered docs are dropped entirely.
+        entries: list[tuple[int, object]] = []
+        if cols is not None:
+            # columnar image: one searchsorted resolves the whole chunk,
+            # numeric columns gather by row index (no per-match dict probes)
+            c_arr = np.asarray(chunk, dtype=np.int64)
+            ridx, found = cols.gather(c_arr)
+            sel_rows: list[int] = []
+            m_list: list[int] = []
+            for m, ok, i in zip(c_arr.tolist(), found.tolist(), ridx.tolist()):
+                if not ok:
+                    entries.append((m, None))
+                    continue
+                url_b = cols.urls[i]
+                title = cols.titles[i]
+                if contains_porn_keywords_any(title) or contains_porn_keywords(url_b):
+                    continue
+                entries.append((m, (url_b, title)))
+                sel_rows.append(i)
+                m_list.append(m)
+            nsc = len(sel_rows)
+            scored = nsc > 0
+            if scored:
+                rows = np.asarray(sel_rows, dtype=np.int64)
+                m_arr = np.asarray(m_list, dtype=np.int64)
+                urls = [cols.urls[i].decode("latin-1") for i in sel_rows]
+                title_words_list = [
+                    [t.decode("latin-1") for t in cols.titles[i]]
+                    for i in sel_rows
+                ]
+                title_sizes = cols.title_counts[rows]
+                body_lens = cols.body_lens[rows]
+                pageranks = cols.pageranks[rows]
+                static_ranks = (
+                    cols.static_ranks[rows]
+                    if cols.static_ranks is not None
+                    else np.asarray([static_rank(u) for u in urls], np.float64)
+                )
+        else:
+            scored_metas: list[tuple[int, object]] = []
+            for m in (chunk.tolist() if isinstance(chunk, np.ndarray) else chunk):
+                meta = shard.doc_map.get(m)
+                if meta is None:
+                    entries.append((m, None))
+                    continue
+                if contains_porn_keywords_any(meta.title) or contains_porn_keywords(meta.url):
+                    continue
+                entries.append((m, (meta.url, meta.title)))
+                scored_metas.append((m, meta))
+            nsc = len(scored_metas)
+            scored = nsc > 0
+            if scored:
+                m_arr = np.fromiter((m for m, _ in scored_metas), np.int64, nsc)
+                urls = [meta.url.decode("latin-1") for _, meta in scored_metas]
+                title_words_list = [
+                    [t.decode("latin-1") for t in meta.title]
+                    for _, meta in scored_metas
+                ]
+                title_sizes = np.fromiter(
+                    (len(meta.title) for _, meta in scored_metas), np.int64, nsc)
+                body_lens = np.fromiter(
+                    (meta.body_len for _, meta in scored_metas), np.int64, nsc)
+                pageranks = np.fromiter(
+                    (meta.pagerank for _, meta in scored_metas), np.float64, nsc)
+                static_ranks = np.fromiter(
+                    (meta.static_rank if meta.static_rank is not None
+                     else static_rank(u)
+                     for (_, meta), u in zip(scored_metas, urls)),
+                    np.float64, nsc)
 
         scores = None
         if scored:
-            nsc = len(scored)
-            m_arr = np.fromiter((m for m, _ in scored), np.int64, nsc)
-            urls = [meta.url.decode("latin-1") for _, meta in scored]
-            title_words_list = [
-                [t.decode("latin-1") for t in meta.title] for _, meta in scored
-            ]
             title_concats = [ascii_lower("".join(tw)) for tw in title_words_list]
-            title_sizes = np.fromiter(
-                (len(meta.title) for _, meta in scored), np.int64, nsc)
-            body_lens = np.fromiter(
-                (meta.body_len for _, meta in scored), np.int64, nsc)
-            pageranks = np.fromiter(
-                (meta.pagerank for _, meta in scored), np.float64, nsc)
-            static_ranks = np.fromiter(
-                (meta.static_rank if meta.static_rank is not None
-                 else static_rank(u)
-                 for (_, meta), u in zip(scored, urls)),
-                np.float64, nsc)
             tf_by_term: dict[str, np.ndarray] = {}
             first_by_term: dict[str, np.ndarray] = {}
             in_desc_by_term: dict[str, np.ndarray] = {}
@@ -372,13 +448,13 @@ def handle_ranking(
 
         # replay the reference loop's counters over the score sequence
         j = 0
-        for m, meta in entries:
-            if meta is None:
+        for m, payload in entries:
+            if payload is None:
                 ranked.append((m, 0, b"", []))
                 continue
             score = int(scores[j])
             j += 1
-            ranked.append((m, score, meta.url, meta.title))
+            ranked.append((m, score, payload[0], payload[1]))
 
             if short_circuit and score >= SCORE_FOR_SHORTCIRCUIT_REQUIRED:
                 results_collected_above_min += 1

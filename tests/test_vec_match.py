@@ -1,0 +1,178 @@
+"""Vectorized match enumeration == scalar ISR walk (exact), and the
+columnar doc-map image ranks identically to the dict image.
+
+The numpy set-algebra evaluator (query/vecisr.py) is the engine default for
+quote/phrase-free trees; the per-doc cursor walk (evaluate_query_scalar,
+the literal transcription of QueryEngine.h:46-73) is the oracle here.
+Random trees cover AND/OR/NOT nesting, field terms, stopwords, missing
+terms, and quote/phrase fall-through.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from mithril_spark.fixtures import QUERY_SET, STOP_SAMPLE, VOCAB, generate_pages
+from mithril_spark.oracle import OracleIndex
+from mithril_spark.query.isr import DocMapCols, ShardIndex
+from mithril_spark.query.shard import (
+    evaluate_query,
+    evaluate_query_scalar,
+    handle_ranking,
+)
+from mithril_spark.query.vecisr import (
+    complement_sorted,
+    intersect_sorted,
+    union_sorted,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pages = generate_pages(300, seed=11)
+    return OracleIndex.build(
+        [(r["url"].encode(), r["html"]) for r in pages], num_shards=3
+    )
+
+
+def _as_list(res):
+    return [int(x) for x in res]
+
+
+def test_vec_equals_scalar_on_fixture_queries(oracle):
+    for q in QUERY_SET:
+        for shard in oracle.shards:
+            assert _as_list(evaluate_query(q, shard)) == _as_list(
+                evaluate_query_scalar(q, shard)
+            ), q
+
+
+def _random_query(rng: random.Random, depth: int = 0) -> str:
+    """Random query expression over the fixture vocab (grammar-shaped)."""
+    pool = VOCAB + STOP_SAMPLE + ["zzzmissing", "qqq"]
+    r = rng.random()
+    if depth >= 3 or r < 0.35:
+        term = rng.choice(pool)
+        f = rng.random()
+        if f < 0.15:
+            return rng.choice(["title:", "url:", "anchor:", "desc:"]) + term
+        return term
+    if r < 0.55:
+        return f"({_random_query(rng, depth + 1)} AND {_random_query(rng, depth + 1)})"
+    if r < 0.75:
+        return f"({_random_query(rng, depth + 1)} OR {_random_query(rng, depth + 1)})"
+    if r < 0.9:
+        return f"(NOT {_random_query(rng, depth + 1)})"
+    # implicit AND juxtaposition
+    return f"{_random_query(rng, depth + 1)} {_random_query(rng, depth + 1)}"
+
+
+def test_vec_equals_scalar_on_random_trees(oracle):
+    rng = random.Random(20260816)
+    for i in range(300):
+        q = _random_query(rng)
+        for shard in oracle.shards:
+            assert _as_list(evaluate_query(q, shard)) == _as_list(
+                evaluate_query_scalar(q, shard)
+            ), (i, q)
+
+
+def test_quote_phrase_trees_take_scalar_path(oracle):
+    """Trees with positional nodes must produce the scalar walk's output
+    (incl. its abort-to-empty quirks) — by construction, but gate it."""
+    for q in ['"alpha beta"', "'alpha beta'", 'gamma AND "alpha beta"',
+              'NOT "alpha beta"', '"zzz qqq" OR alpha']:
+        for shard in oracle.shards:
+            assert _as_list(evaluate_query(q, shard)) == _as_list(
+                evaluate_query_scalar(q, shard)
+            ), q
+
+
+def test_kernels_against_python_sets():
+    rng = random.Random(7)
+    for _ in range(200):
+        n = rng.randint(0, 60)
+        a = np.array(sorted(rng.sample(range(100), rng.randint(0, 40))),
+                     dtype=np.int64)
+        b = np.array(sorted(rng.sample(range(100), rng.randint(0, 40))),
+                     dtype=np.int64)
+        sa, sb = set(a.tolist()), set(b.tolist())
+        assert intersect_sorted(a, b).tolist() == sorted(sa & sb)
+        assert union_sorted(a, b).tolist() == sorted(sa | sb)
+        dc = rng.randint(0, 100)
+        want = (
+            list(range(dc)) if not sb
+            else [d for d in range(1, dc) if d not in sb]
+        )
+        assert complement_sorted(b, dc).tolist() == want
+
+
+def _to_cols(shard: ShardIndex) -> ShardIndex:
+    """Clone a dict-doc_map shard into a columnar-image shard."""
+    ids = sorted(shard.doc_map)
+    metas = [shard.doc_map[i] for i in ids]
+    clone = ShardIndex(
+        doc_count=shard.doc_count, base_doc_id=shard.base_doc_id,
+        postings=shard.postings, positions=shard.positions,
+        total_body_length=shard.total_body_length,
+        total_title_length=shard.total_title_length,
+        total_url_length=shard.total_url_length,
+        total_desc_length=shard.total_desc_length,
+        extra_doc_freqs=shard.extra_doc_freqs,
+        pagerank_weight=shard.pagerank_weight,
+    )
+    clone.doc_cols = DocMapCols(
+        np.array(ids, dtype=np.int64),
+        [m.url for m in metas],
+        [m.title for m in metas],
+        [m.body_len for m in metas],
+        [m.title_len for m in metas],
+        [m.url_len for m in metas],
+        [m.desc_len for m in metas],
+        [m.pagerank for m in metas],
+        (None if any(m.static_rank is None for m in metas)
+         else [m.static_rank for m in metas]),
+    )
+    return clone
+
+
+def test_columnar_docmap_rank_identity(oracle):
+    """handle_ranking over the columnar image == over the dict image,
+    tuple-exact, for fixture + random queries (both score paths share
+    final_score_batch; this gates the gather/porn-filter/replay plumbing)."""
+    rng = random.Random(99)
+    queries = list(QUERY_SET) + [
+        " ".join(rng.choice(VOCAB + STOP_SAMPLE) for _ in range(rng.randint(1, 4)))
+        for _ in range(20)
+    ]
+    for shard in oracle.shards:
+        cshard = _to_cols(shard)
+        for q in queries:
+            matches = evaluate_query(q, shard)
+            assert handle_ranking(q, cshard, matches) == handle_ranking(
+                q, shard, matches
+            ), q
+
+
+def test_columnar_docmap_with_holes():
+    """Missing docids rank as (m, 0, b'', []) on both representations."""
+    docs = list(range(0, 40, 2))
+    shard = ShardIndex(doc_count=40, base_doc_id=0)
+    shard.postings["alpha"] = (docs, [1] * len(docs))
+    from mithril_spark.query.isr import DocMeta
+
+    for d in docs:
+        if d == 10:
+            continue  # hole
+        shard.doc_map[d] = DocMeta(
+            doc_id=d, url=f"https://ex.com/a/{d}.html".encode(),
+            title=[b"doc"], body_len=50, title_len=3, url_len=20, desc_len=0,
+        )
+        shard.total_body_length += 50
+    cshard = _to_cols(shard)
+    matches = evaluate_query("alpha", shard)
+    assert _as_list(matches) == docs
+    assert handle_ranking("alpha", cshard, matches) == handle_ranking(
+        "alpha", shard, matches
+    )
