@@ -24,7 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from mithril_spark.indexer import build_index
 
     # versioned: older rounds' cached dirs have a different stage schema
-    index_dir = "/tmp/mithril_entry_index_r2"
+    index_dir = "/tmp/mithril_entry_index_r3"
     if not os.path.exists(os.path.join(index_dir, "index_meta.json")):
         pages = pages_to_df(spark, generate_pages(120, seed=42))
         build_index(pages, index_dir, num_shards=2, pagerank=True)

@@ -359,8 +359,8 @@ class SearchEngine:
         return self.top_k_many([query])[0]
 
     def top_k_many(
-        self, queries: list[str]
-    ) -> list[list[tuple[int, int, bytes, list[bytes]]]]:
+        self, queries: list[str], with_positions: bool = False
+    ) -> list[list[tuple]]:
         """Answer a batch of queries in the same two jobs as one query.
 
         The union of every query's terms is fetched once, and one pass over
@@ -382,12 +382,15 @@ class SearchEngine:
         shard_size = self.meta["shard_size"]
         qlist = list(queries)
         prw = self.pagerank_weight
+        want_positions = with_positions
 
         def shard_fn(shard_id, payload, docmap_bytes):
             from .codec import pack_words
 
             out = {"qidx": [], "shard": [], "doc_id": [], "score": [],
                    "url": [], "title_packed": []}
+            if want_positions:
+                out["pos_packed"] = []
             st = stats.get(shard_id)
             if st is not None:
                 shard = _build_shard(
@@ -396,6 +399,9 @@ class SearchEngine:
                 )
                 for qi, q in enumerate(qlist):
                     matches = evaluate_query(q, shard)
+                    qtokens = (
+                        tokenify_query(q)[0] if want_positions else None
+                    )
                     for d, s, u, t in handle_ranking(q, shard, matches):
                         out["qidx"].append(qi)
                         out["shard"].append(shard_id)
@@ -403,20 +409,35 @@ class SearchEngine:
                         out["score"].append(s)
                         out["url"].append(u)
                         out["title_packed"].append(pack_words(t))
+                        if want_positions:
+                            # per-term body positions for this hit (local
+                            # docid d) — already decoded for ranking
+                            pos = {}
+                            for term, _m in qtokens:
+                                p = shard.get_positions(term, int(d))
+                                if len(p):
+                                    pos[term] = [int(x) for x in p]
+                            out["pos_packed"].append(
+                                pickle.dumps(pos, protocol=4)
+                            )
             return pd.DataFrame(out)
 
         from .codec import unpack_words
 
+        schema = "qidx int, " + RESULT_SCHEMA
+        if want_positions:
+            schema += ", pos_packed binary"
+
         rows = self._execute(
-            posting_terms, position_terms, token_terms, shard_fn,
-            "qidx int, " + RESULT_SCHEMA,
+            posting_terms, position_terms, token_terms, shard_fn, schema
         )
         per_query: list[dict[int, list]] = [dict() for _ in qlist]
         for r in rows:
-            per_query[int(r["qidx"])].setdefault(int(r["shard"]), []).append(
-                (int(r["doc_id"]), int(r["score"]), bytes(r["url"]),
-                 unpack_words(bytes(r["title_packed"])))
-            )
+            hit = (int(r["doc_id"]), int(r["score"]), bytes(r["url"]),
+                   unpack_words(bytes(r["title_packed"])))
+            if want_positions:
+                hit = hit + (pickle.loads(bytes(r["pos_packed"])),)
+            per_query[int(r["qidx"])].setdefault(int(r["shard"]), []).append(hit)
         results = []
         for by_shard in per_query:
             ordered_lists = [by_shard[s] for s in sorted(by_shard)]
@@ -492,30 +513,44 @@ class SearchEngine:
 
         The reference's web tier re-reads gzipped crawl chunks through an
         LRU (DocumentAccessor); here the documents live in the index's
-        ``stage_raw`` parquet, so the hits are fetched with one pruned scan
-        (url IN top-k — parquet min/max + dictionary skipping) and snippets
-        are generated driver-side from the ~50 fetched texts. Positions are
-        left to the substring path (generateSnippet's own fallback chain).
+        url-sorted ``doc_text`` sidecar, so the hits are fetched with one
+        pruned scan (url IN top-k reaches the parquet scan as pushed
+        filters, and the url sort makes row-group min/max skipping
+        effective — tests/test_plans.py guards the plan shape). Indexes
+        built before the sidecar existed fall back to ``stage_raw``.
+
+        Snippet extraction follows generateSnippet's preference order: the
+        hit's per-term body positions (carried on the result tuple exactly
+        like the reference's std::get<4>(result), SearchPlugin.cpp:494)
+        feed extractSnippetFromPositions first, then the substring search,
+        then the document-head fallback. Like the reference's dormant
+        positions path, token positions index into the combined
+        title+desc+body text unadjusted (Snippets.h:287-328 applies them to
+        getDocumentText's output as-is).
         """
-        results = self.top_k(query)
+        results = self.top_k_many([query], with_positions=True)[0]
         if not results:
             return []
         from pyspark.sql import functions as F
 
         from .snippets import combined_text, generate_snippet
 
-        stage = self.spark.read.parquet(
-            os.path.join(self.index_dir, "stage_raw")
-        )
+        sidecar = os.path.join(self.index_dir, "doc_text")
+        if os.path.exists(os.path.join(sidecar, "_SUCCESS")):
+            stage = self.spark.read.parquet(sidecar)
+        else:
+            stage = self.spark.read.parquet(
+                os.path.join(self.index_dir, "stage_raw")
+            )
         has_desc = "desc" in stage.columns  # absent in pre-r2 indexes
         cols = ["url", "title", "text"] + (["desc"] if has_desc else [])
-        urls = [url for _d, _s, url, _t in results]
+        urls = [url for _d, _s, url, _t, _p in results]
         rows = stage.filter(F.col("url").isin(urls)).select(*cols).collect()
         by_url = {bytes(r["url"]): r for r in rows}
         _pt, _xt, tokens = plan_terms(query)
         qterms = [t for t, _m in tokens]
         out = []
-        for doc_id, score, url, title in results:
+        for doc_id, score, url, title, positions in results:
             row = by_url.get(url)
             if row is None:
                 out.append((doc_id, score, url, title, "No preview available"))
@@ -526,9 +561,10 @@ class SearchEngine:
                 if has_desc and row["desc"] is not None else "",
                 bytes(row["text"]).decode("latin-1"),
             )
-            out.append(
-                (doc_id, score, url, title, generate_snippet(text, qterms))
-            )
+            out.append((
+                doc_id, score, url, title,
+                generate_snippet(text, qterms, positions=positions),
+            ))
         return out
 
     def matches(self, query: str) -> list[int]:

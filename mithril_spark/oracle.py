@@ -141,3 +141,43 @@ class OracleIndex:
         shard = self.shards[shard_idx]
         matches = evaluate_query(query, shard)
         return handle_ranking(query, shard, matches)
+
+    def top_k_with_snippets(
+        self, query: str
+    ) -> list[tuple[int, int, bytes, list[bytes], str]]:
+        """top_k + snippets — the in-memory twin of
+        ``SearchEngine.top_k_with_snippets`` (same snippets.py machinery,
+        same positions-first preference order; Snippets.h:183-217)."""
+        from .ranking import tokenify_query
+        from .snippets import combined_text, generate_snippet
+
+        results = self.top_k(query)
+        docs_by_url = {d.url: d for d in self.docs}
+        tokens, _si, _ni = tokenify_query(query)
+        qterms = [t for t, _m in tokens]
+        out = []
+        for doc_id, score, url, title in results:
+            doc = docs_by_url.get(url)
+            if doc is None:
+                out.append((doc_id, score, url, title, "No preview available"))
+                continue
+            shard = next(
+                s for s in self.shards
+                if s.base_doc_id <= doc_id < s.base_doc_id + s.doc_count
+            )
+            local = int(doc_id) - shard.base_doc_id
+            positions = {}
+            for term, _m in tokens:
+                p = shard.get_positions(term, local)
+                if len(p):
+                    positions[term] = [int(x) for x in p]
+            text = combined_text(
+                [t.decode("latin-1") for t in doc.title_words],
+                b" ".join(doc.desc_words).decode("latin-1"),
+                doc.text.decode("latin-1"),
+            )
+            out.append((
+                doc_id, score, url, title,
+                generate_snippet(text, qterms, positions=positions),
+            ))
+        return out

@@ -8,10 +8,11 @@ Decode support (this container has no Pillow/torchaudio/pyav):
   media table emits genuine P6 payloads, so decode / feature-extract /
   resize exercise actual pixel math end-to-end;
 * audio — REAL decoder for PCM16 WAV via the stdlib ``wave`` module;
-* video — stubbed behind ``NotImplementedError`` (no stdlib container
-  parser); the frame-sample PLAN (duration -> timestamps) is real Spark.
-A real deployment swaps `_decode_image`/`_decode_audio` for lib-backed
-ones; schemas, Arrow batch shape and partitioning stay identical.
+* video — REAL decoder for YUV4MPEG2 (Y4M) streams, numpy-only (C444 and
+  C420 chroma); the synthetic table emits genuine multi-frame Y4M payloads
+  and ``sample_frames`` decodes the frames the frame-sample plan selects.
+A real deployment swaps the decoders for lib-backed ones (Pillow/pyav);
+schemas, Arrow batch shape and partitioning stay identical.
 
 Everything heavy is Arrow-batched (`mapInPandas`/`pandas_udf`); nothing is
 per-row Python UDF.
@@ -64,6 +65,20 @@ def _make_wav(n_samples: int, rate: int, seed: int) -> bytes:
     return buf.getvalue()
 
 
+def _make_y4m(w: int, h: int, n_frames: int, seed_bytes: bytes,
+              fps: int = 25) -> bytes:
+    """Genuine YUV4MPEG2 stream (C444): deterministic per-frame planes."""
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    plane = w * h
+    for f in range(n_frames):
+        digest = hashlib.sha256(seed_bytes + b":%d" % f).digest()
+        px = np.frombuffer(
+            digest * (3 * plane // 32 + 1), dtype=np.uint8
+        )[: 3 * plane]
+        out.append(b"FRAME\n" + px.tobytes())
+    return b"".join(out)
+
+
 def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL decodable payloads (P6 images,
     PCM16 WAVs), opaque video bytes, and a few corrupt rows (i % 17 == 13)
@@ -74,6 +89,7 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
         kind = ("image", "audio", "video")[i % 3]
         w = 8 + i % 24
         ht = 8 + (i * 3) % 24
+        n_frames = 2 + i % 5
         if i % 17 == 13:
             payload = h[: 16 + i % 32]  # corrupt: undecodable
         elif kind == "image":
@@ -81,14 +97,15 @@ def synthetic_media_df(spark, n: int, seed: int = 42) -> DataFrame:
         elif kind == "audio":
             payload = _make_wav(200 + (i * 13) % 800, 16000, i)
         else:
-            payload = (h * ((i % 7) + 1))[: 32 + (i % 97)]
+            payload = _make_y4m(w, ht, n_frames, h)
         rows.append((
             i, kind, payload,
             {"image": "image/x-portable-pixmap", "audio": "audio/wav",
-             "video": "video/mp4"}[kind],
+             "video": "video/x-yuv4mpeg"}[kind],
             w if kind != "audio" else None,
             ht if kind != "audio" else None,
-            (i * 37) % 60000 if kind != "image" else None,
+            (n_frames * 1000 // 25) if kind == "video"
+            else ((i * 37) % 60000 if kind == "audio" else None),
             16000 if kind == "audio" else None,
         ))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
@@ -136,9 +153,62 @@ def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return s, rate
 
 
+def _decode_video(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL YUV4MPEG2 decoder -> (frames (n, h, w, 3 YUV planes upsampled),
+    fps_num, fps_den). Supports C444 and C420* chroma, numpy-only."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a y4m stream")
+    nl = payload.index(b"\n")
+    w = h = 0
+    fps_num, fps_den = 25, 1
+    chroma = "420jpeg"  # the Y4M default when no C tag is present
+    for tag in payload[9:nl].split():
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif key == b"C":
+            chroma = val.decode("ascii")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad y4m geometry")
+    if chroma.startswith("444"):
+        cw, ch = w, h
+    elif chroma.startswith("420"):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+    else:
+        raise ValueError(f"unsupported chroma {chroma}")
+    frame_bytes = w * h + 2 * cw * ch
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad frame marker")
+        pos = fnl + 1
+        raw = payload[pos : pos + frame_bytes]
+        if len(raw) < frame_bytes:
+            raise ValueError("truncated y4m frame")
+        y = np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
+        u = np.frombuffer(
+            raw[w * h : w * h + cw * ch], dtype=np.uint8
+        ).reshape(ch, cw)
+        v = np.frombuffer(raw[w * h + cw * ch :], dtype=np.uint8).reshape(ch, cw)
+        if (cw, ch) != (w, h):  # nearest-neighbor chroma upsample
+            u = u.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
+            v = v.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
+        frames.append(np.stack([y, u, v], axis=-1))
+        pos += frame_bytes
+    if not frames:
+        raise ValueError("empty y4m stream")
+    return np.stack(frames), fps_num, fps_den
+
+
 def decode_feature(kind: str, payload: bytes) -> np.ndarray:
-    """Decode + 8-dim feature. Video raises NotImplementedError (no
-    container parser in this sandbox; a real deployment plugs pyav here)."""
+    """Decode + 8-dim feature per media kind (all three decoders REAL)."""
     if kind == "image":
         px = _decode_image(payload).astype(np.float64)
         luma = px @ np.array([0.299, 0.587, 0.114])
@@ -160,7 +230,21 @@ def decode_feature(kind: str, payload: bytes) -> np.ndarray:
             float(np.abs(s).max()) / 32768.0 if len(s) else 0.0,
             float(np.median(np.abs(s))) / 32768.0 if len(s) else 0.0,
         ])
-    raise NotImplementedError(f"no decoder for kind={kind}")
+    if kind == "video":
+        frames, fps_num, fps_den = _decode_video(payload)
+        fr = frames.astype(np.float64)
+        n, h, w = fr.shape[0], fr.shape[1], fr.shape[2]
+        luma = fr[..., 0]
+        # temporal activity: mean abs luma delta between consecutive frames
+        motion = (
+            float(np.abs(np.diff(luma, axis=0)).mean()) if n > 1 else 0.0
+        )
+        return np.array([
+            n / 1000.0, luma.mean() / 255.0, luma.std() / 255.0,
+            fr[..., 1].mean() / 255.0, fr[..., 2].mean() / 255.0,
+            w / 4096.0, h / 4096.0, motion / 255.0,
+        ])
+    raise ValueError(f"unknown media kind={kind}")
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -238,10 +322,8 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plan for video rows: one row per sampled timestamp.
-
-    The actual frame decode is the stubbed step; the explode/planning is the
-    real Spark work (duration -> sequence of sample points, JVM-side)."""
+    """Frame-sampling plan for video rows: one row per sampled timestamp
+    (duration -> sequence of sample points, JVM-side explode)."""
     return (
         media.filter(F.col("kind") == "video")
         .withColumn(
@@ -256,6 +338,63 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "sample_ms", "mime")
     )
+
+
+FRAME_SCHEMA = (
+    "media_id long, sample_ms long, frame_idx int, "
+    "y_mean float, y_std float, u_mean float, v_mean float, decode_ok boolean"
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Decode the frames ``frame_sample_plan`` selects, Arrow-batched.
+
+    One ``mapInPandas`` pass over the video rows: each payload is decoded
+    ONCE and emits one row per sampled timestamp with genuine per-frame
+    pixel statistics. (Joining the exploded plan back to payloads would
+    ship each payload N times across the shuffle — decoding at the source
+    partition is the 100 TB-correct shape; the emitted timestamps are
+    asserted identical to frame_sample_plan in tests/test_pipeline_ops.py.)
+    Undecodable payloads emit one decode_ok=false row at sample_ms=0.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_ms", "frame_idx",
+                                   "y_mean", "y_std", "u_mean", "v_mean",
+                                   "decode_ok")}
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["duration_ms"],
+            ):
+                if kind != "video":
+                    continue
+                try:
+                    frames, fps_num, fps_den = _decode_video(bytes(payload))
+                except Exception:
+                    out["media_id"].append(int(mid))
+                    out["sample_ms"].append(0)
+                    out["frame_idx"].append(-1)
+                    for k in ("y_mean", "y_std", "u_mean", "v_mean"):
+                        out[k].append(0.0)
+                    out["decode_ok"].append(False)
+                    continue
+                n = frames.shape[0]
+                dur = int(dur) if dur is not None else 0
+                for ms in range(0, max(dur, 1), every_ms):
+                    idx = min(n - 1, (ms * fps_num) // (1000 * fps_den))
+                    fr = frames[idx].astype(np.float64)
+                    out["media_id"].append(int(mid))
+                    out["sample_ms"].append(ms)
+                    out["frame_idx"].append(int(idx))
+                    out["y_mean"].append(float(fr[..., 0].mean()) / 255.0)
+                    out["y_std"].append(float(fr[..., 0].std()) / 255.0)
+                    out["u_mean"].append(float(fr[..., 1].mean()) / 255.0)
+                    out["v_mean"].append(float(fr[..., 2].mean()) / 255.0)
+                    out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 # --- document fingerprinting (winnowing-style rolling hash) ---

@@ -18,14 +18,17 @@ def test_media_features(spark, media):
     assert len(feats) == 60
     by_id = {r["media_id"]: r for r in feats}
     for i, r in by_id.items():
-        if i % 17 == 13 or r["kind"] == "video":
-            # corrupt payloads + video (no container parser) fail soft
+        if i % 17 == 13:
+            # corrupt payloads fail soft
             assert not r["decode_ok"] and r["feature"] == [], i
         else:
             assert r["decode_ok"] and len(r["feature"]) == 8, i
-    # images/audio genuinely decode: real pixel/sample statistics
+    # images/audio/video genuinely decode: real pixel/sample statistics
     img = next(r for r in feats if r["kind"] == "image" and r["decode_ok"])
     assert 0.0 < img["feature"][0] < 1.0  # mean R channel
+    vid = next(r for r in feats if r["kind"] == "video" and r["decode_ok"])
+    assert 0.0 < vid["feature"][1] < 1.0  # mean luma
+    assert vid["feature"][7] > 0.0        # real inter-frame motion
     # deterministic: same payload -> same sha/feature
     again = extract_media_features(media).collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))
@@ -74,6 +77,54 @@ def test_frame_sample_plan(spark, media):
     assert all(r["sample_ms"] % 1000 == 0 for r in rows)
     vids = media.filter("kind = 'video' AND duration_ms > 0").count()
     assert plan.select("media_id").distinct().count() >= vids
+
+
+def test_video_decode_real(spark, media):
+    """The Y4M decoder is a real decoder: known planes round-trip, C420
+    upsampling works, and sample_frames decodes exactly the planned set."""
+    import numpy as np
+
+    from mithril_spark.pipeline_ops import (
+        _decode_video,
+        _make_y4m,
+        frame_sample_plan,
+        sample_frames,
+    )
+
+    y4m = _make_y4m(6, 4, 3, b"seed")
+    frames, num, den = _decode_video(y4m)
+    assert frames.shape == (3, 4, 6, 3) and (num, den) == (25, 1)
+    # the first frame's Y plane IS the first w*h payload bytes
+    body = y4m.split(b"FRAME\n", 2)[1]
+    assert frames[0, :, :, 0].tobytes() == body[: 6 * 4]
+
+    # C420: uniform planes survive subsampled decode
+    y = bytes([77]) * (8 * 4)
+    u = bytes([100]) * (4 * 2)
+    v = bytes([200]) * (4 * 2)
+    c420 = b"YUV4MPEG2 W8 H4 F30:1 C420jpeg\n" + b"FRAME\n" + y + u + v
+    fr, num, den = _decode_video(c420)
+    assert (num, den) == (30, 1)
+    assert (fr[0, :, :, 0] == 77).all()
+    assert (fr[0, :, :, 1] == 100).all() and (fr[0, :, :, 2] == 200).all()
+
+    # sampled frames: timestamps match the JVM plan exactly; stats genuine
+    plan_rows = {
+        (r["media_id"], r["sample_ms"])
+        for r in frame_sample_plan(media, every_ms=1000).collect()
+    }
+    ok_video_ids = {
+        r["media_id"] for r in media.filter("kind = 'video'").collect()
+        if r["media_id"] % 17 != 13
+    }
+    got = sample_frames(media, every_ms=1000).collect()
+    got_ok = {(r["media_id"], r["sample_ms"]) for r in got if r["decode_ok"]}
+    want = {(m, s) for m, s in plan_rows if m in ok_video_ids}
+    assert got_ok == want
+    assert any(not r["decode_ok"] for r in got)  # corrupt video rows
+    for r in got:
+        if r["decode_ok"]:
+            assert 0.0 < r["y_mean"] < 1.0 and r["frame_idx"] >= 0
 
 
 def test_fingerprint_near_dups(spark):

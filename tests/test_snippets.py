@@ -56,37 +56,59 @@ def test_generate_snippet_paths():
     assert generate_snippet("ab " * 100, ["ab"]).endswith("...")
 
 
-def test_engine_snippets_match_oracle_text(spark, tmp_path_factory):
-    """Engine snippet == snippet computed from the oracle's extracted text
-    (byte-identity makes stage_raw.text equal oracle text; the generator is
-    shared, so results must be string-equal)."""
-    from mithril_spark.engine import SearchEngine, plan_terms
+def test_engine_snippets_match_oracle(spark, tmp_path_factory):
+    """Engine snippets (positions-first, doc_text sidecar fetch) must be
+    string-identical to OracleIndex.top_k_with_snippets — the in-memory
+    twin sharing snippets.py and the rank-identical top-k."""
+    from mithril_spark.engine import SearchEngine
     from mithril_spark.fixtures import generate_pages, pages_to_df
     from mithril_spark.indexer import build_index
-    from mithril_spark.text.docproc import process_page
+    from mithril_spark.oracle import OracleIndex
 
     pages = generate_pages(150, seed=42)
     path = str(tmp_path_factory.mktemp("snip_idx") / "i")
     shutil.rmtree(path, ignore_errors=True)
     build_index(pages_to_df(spark, pages), path, num_shards=2)
     engine = SearchEngine(spark, path)
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages], num_shards=2
+    )
 
-    docs = {}
-    for p in pages:
-        d = process_page(p["url"].encode(), p["html"])
-        if d is not None:
-            docs[d.url] = d
+    saw_position_snippet = False
+    for q in ["search engine", "granite OR marble", "thermite",
+              "spark shuffle partition"]:
+        got = engine.top_k_with_snippets(q)
+        want = oracle.top_k_with_snippets(q)
+        assert len(got) == len(want) > 0, q
+        for (gd, gs, gu, gt, gsnip), (wd, ws, wu, wt, wsnip) in zip(got, want):
+            assert (int(gd), int(gs), bytes(gu)) == (int(wd), int(ws), bytes(wu))
+            assert gsnip == wsnip, (q, gu)
+        # prove the positions path is exercised: at least one hit whose
+        # positions-based snippet differs from the substring-only snippet
+        res = engine.top_k_many([q], with_positions=True)[0]
+        for _d, _s, _u, _t, pos in res:
+            if pos and any(pos.values()):
+                saw_position_snippet = True
+    assert saw_position_snippet
 
-    for q in ["search engine", "granite OR marble", "thermite"]:
-        results = engine.top_k_with_snippets(q)
-        assert results, q
-        _pt, _xt, tokens = plan_terms(q)
-        qterms = [t for t, _m in tokens]
-        for doc_id, _score, url, _title, snippet in results:
-            d = docs[url]
-            text = combined_text(
-                [t.decode("latin-1") for t in d.title_words],
-                b" ".join(d.desc_words).decode("latin-1"),
-                d.text.decode("latin-1"),
-            )
-            assert snippet == generate_snippet(text, qterms), (q, url)
+
+def test_snippet_fetch_plan_prunes(spark, tmp_path_factory):
+    """The doc_text sidecar fetch must push the url IN(...) filter into the
+    parquet scan (min/max skipping works because doc_text is url-sorted)."""
+    from pyspark.sql import functions as F
+
+    from mithril_spark.fixtures import generate_pages, pages_to_df
+    from mithril_spark.indexer import build_index
+
+    path = str(tmp_path_factory.mktemp("snipplan_idx") / "i")
+    shutil.rmtree(path, ignore_errors=True)
+    build_index(pages_to_df(spark, generate_pages(80, seed=42)), path,
+                num_shards=1)
+    doc_text = spark.read.parquet(path + "/doc_text")
+    some_urls = [bytes(r["url"]) for r in doc_text.limit(3).collect()]
+    fetch = doc_text.filter(F.col("url").isin(some_urls)).select(
+        "url", "title", "text", "desc"
+    )
+    plan = fetch._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "url" in plan.split("PushedFilters")[1][:200], plan[:2000]
