@@ -1,0 +1,103 @@
+"""Incremental index maintenance: merge_index_delta == full rebuild.
+
+The derived tables (doc_map, postings, positions, term_dict, index_stats)
+are a deterministic function of the staged row set, so folding new pages in
+through two merge_index_delta calls must produce BYTE-IDENTICAL tables to a
+from-scratch build over the union corpus — at 1, 2 and 3 shards. Only the
+stage layout differs (generations vs one dir); read_stage resolves it.
+"""
+
+import shutil
+
+import pytest
+
+from mithril_spark.fixtures import generate_pages, pages_to_df
+from mithril_spark.indexer import (
+    build_index,
+    compact_stage,
+    merge_index_delta,
+    read_stage,
+)
+
+PCOLS = ["term", "shard", "salt", "block_id", "doc_count", "first_doc_id",
+         "last_doc_id", "max_freq", "freq_sum", "doc_ids_enc", "freqs_enc"]
+XCOLS = ["term", "shard", "salt", "doc_count", "first_doc_id", "last_doc_id",
+         "doc_ids_enc", "flags_enc", "pos_counts_enc", "positions_enc"]
+DCOLS = ["shard", "doc_id", "local_id", "url", "title_len", "body_len",
+         "static_rank"]
+TCOLS = ["term", "shard", "df", "cf"]
+SCOLS = ["shard", "doc_count", "total_body", "total_title", "total_url",
+         "total_desc"]
+
+
+def _tbl(spark, path, name, cols):
+    return sorted(
+        tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+              for v in (r[c] for c in cols))
+        for r in spark.read.parquet(f"{path}/{name}").select(*cols).collect()
+    )
+
+
+def _assert_same_index(spark, a, b):
+    for name, cols in [("doc_map", DCOLS), ("postings", PCOLS),
+                       ("positions", XCOLS), ("term_dict", TCOLS),
+                       ("index_stats", SCOLS)]:
+        assert _tbl(spark, a, name, cols) == _tbl(spark, b, name, cols), name
+
+
+@pytest.mark.parametrize("shards", [1, 2, 3])
+def test_two_increments_equal_full_rebuild(spark, tmp_path_factory, shards):
+    pages = generate_pages(120, seed=42)
+    p1, p2, p3 = pages[:70], pages[70:95], pages[95:]
+
+    full_dir = str(tmp_path_factory.mktemp(f"inc_full_{shards}") / "i")
+    shutil.rmtree(full_dir, ignore_errors=True)
+    build_index(pages_to_df(spark, pages), full_dir, num_shards=shards)
+
+    inc_dir = str(tmp_path_factory.mktemp(f"inc_inc_{shards}") / "i")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    build_index(pages_to_df(spark, p1), inc_dir, num_shards=shards)
+    merge_index_delta(inc_dir, pages_to_df(spark, p2))
+    merge_index_delta(inc_dir, pages_to_df(spark, p3))
+
+    _assert_same_index(spark, full_dir, inc_dir)
+
+    # the served results agree too (query layer over the merged index)
+    from mithril_spark.engine import SearchEngine
+
+    ef = SearchEngine(spark, full_dir, cache_doc_map=False)
+    ei = SearchEngine(spark, inc_dir, cache_doc_map=False)
+    for q in ["search engine", "granite OR marble", "NOT quartz"]:
+        assert ef.top_k(q) == ei.top_k(q), q
+
+    # compaction folds generations without changing the resolved rows
+    before = {bytes(r["url"]) for r in read_stage(spark, inc_dir)
+              .select("url").collect()}
+    folded = compact_stage(spark, inc_dir)
+    assert folded == 3
+    after = {bytes(r["url"]) for r in read_stage(spark, inc_dir)
+             .select("url").collect()}
+    assert before == after
+
+
+def test_merge_replaces_recrawled_url(spark, tmp_path_factory):
+    """A re-crawled url is replaced by its newest snapshot (latest
+    generation wins), mirroring dedupe_pages semantics."""
+    pages = generate_pages(40, seed=5)
+    inc_dir = str(tmp_path_factory.mktemp("inc_replace") / "i")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    build_index(pages_to_df(spark, pages), inc_dir, num_shards=2)
+
+    # re-crawl one url with different content (borrow another page's html)
+    recrawl = [dict(pages[3], html=pages[7]["html"])]
+    merge_index_delta(inc_dir, pages_to_df(spark, recrawl))
+
+    stage = read_stage(spark, inc_dir)
+    assert stage.count() <= len(pages)  # replacement, not duplication
+    row = stage.filter(
+        stage.url == pages[3]["url"].encode()
+    ).select("text").collect()
+    from mithril_spark.oracle import extract_text
+
+    want = extract_text(pages[3]["url"].encode(), pages[7]["html"])
+    assert len(row) == 1 and bytes(row[0]["text"]) == want

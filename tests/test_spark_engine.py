@@ -81,6 +81,23 @@ def test_docid_determinism_across_partitioning(spark, pages_df, tmp_path_factory
     }
     assert rows_a == rows_b
 
+    # posting/position BLOCKS must also be byte-identical across sort
+    # parallelism — this gates the streaming per-batch emit (a group split
+    # across two encode calls would fork block_id runs and payload bytes)
+    def _tbl(path, name, cols):
+        return sorted(
+            tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                  for v in (r[c] for c in cols))
+            for r in spark.read.parquet(f"{path}/{name}").select(*cols).collect()
+        )
+
+    pcols = ["term", "shard", "salt", "block_id", "doc_count",
+             "doc_ids_enc", "freqs_enc"]
+    assert _tbl(a, "postings", pcols) == _tbl(b, "postings", pcols)
+    xcols = ["term", "shard", "salt", "doc_count", "doc_ids_enc",
+             "flags_enc", "pos_counts_enc", "positions_enc"]
+    assert _tbl(a, "positions", xcols) == _tbl(b, "positions", xcols)
+
 
 @pytest.mark.parametrize("shards", [1, 3])
 def test_rank_identity(spark, request, oracle_pages, shards):
