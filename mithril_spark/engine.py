@@ -446,13 +446,24 @@ class SearchEngine:
             )
         return results
 
-    def bm25_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def bm25_topk(self, query: str, k: int = 10,
+                  return_stats: bool = False):
         """Block-max-WAND pure-BM25 disjunctive top-k (query/wand.py).
 
         Query terms are body-normalized; per-shard WAND runs inside the
         cached shard images (body lengths come from the doc-map image) with
         per-shard df/stats, exactly like per-shard exhaustive BM25; the
-        driver merges by (score desc, global doc asc)."""
+        driver merges by (score desc, global doc asc).
+
+        ``return_stats=True`` returns (results, stats) where stats carries
+        the aggregated pruning counters (blocks_total / blocks_skipped /
+        docs_scored) — the evidence that block-max metadata actually skips
+        undecoded blocks. This pruning stays BM25-only by design: the
+        flagship ``top_k`` ranker's uint32 wrap makes any
+        cannot-reach-threshold bound unsound (a negative pre-wrap score
+        wraps to ~2^32 and ranks FIRST — ranking.py get_url_dynamic_rank),
+        so the exhaustive dynamic path cannot skip blocks without changing
+        results."""
         from .text.normalize import BODY, normalize
 
         terms = {
@@ -467,8 +478,9 @@ class SearchEngine:
         def shard_fn(shard_id, pl, docmap_bytes):
             from .query.wand import bm25_wand_topk
 
-            shards_out, docs_out, scores_out = [], [], []
+            shards_out, docs_out, scores_out, stats_out = [], [], [], []
             st = stats.get(shard_id)
+            wstats: dict = {}
             if st is not None and pl and pl["P"]:
                 docmap = pickle.loads(docmap_bytes)
                 base = shard_id * shard_size
@@ -487,24 +499,37 @@ class SearchEngine:
                     if st["doc_count"] else 0.0
                 )
                 for d, s in bm25_wand_topk(
-                    term_blocks, body_lens, st["doc_count"], avg, k
+                    term_blocks, body_lens, st["doc_count"], avg, k,
+                    stats=wstats,
                 ):
                     shards_out.append(shard_id)
                     docs_out.append(d + base)
                     scores_out.append(s)
+                stats_out = [json.dumps(wstats)] * len(shards_out)
             return pd.DataFrame(
-                {"shard": shards_out, "doc_id": docs_out, "score": scores_out}
+                {"shard": shards_out, "doc_id": docs_out,
+                 "score": scores_out, "wstats": stats_out}
             )
 
         rows = self._execute(
             terms, set(), set(), shard_fn,
-            "shard int, doc_id long, score double",
+            "shard int, doc_id long, score double, wstats string",
         )
         merged = sorted(
             ((int(r["doc_id"]), float(r["score"])) for r in rows),
             key=lambda t: (-t[1], t[0]),
         )
-        return merged[:k]
+        if not return_stats:
+            return merged[:k]
+        agg: dict[str, int] = {}
+        for sid in {int(r["shard"]) for r in rows}:
+            per = next(
+                json.loads(r["wstats"]) for r in rows
+                if int(r["shard"]) == sid and r["wstats"]
+            )
+            for key, v in per.items():
+                agg[key] = agg.get(key, 0) + int(v)
+        return merged[:k], agg
 
     def top_k_with_snippets(
         self, query: str

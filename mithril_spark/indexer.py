@@ -732,7 +732,18 @@ def read_stage(spark: SparkSession, index_dir: str) -> DataFrame:
         .select("url", *[F.col("_r." + c).alias(c) for c in payload])
     )
     delta_urls = delta_all.select("url").distinct()
-    survivors = base.join(F.broadcast(delta_urls), "url", "left_anti")
+    # broadcast the anti-join url probe only while the deltas are small
+    # on disk (same byte-estimate rule as the ids join in _build_derived);
+    # a compaction-overdue index degrades to AQE sort-merge, never OOM
+    delta_bytes = sum(
+        e.stat().st_size
+        for p in gens[1:]
+        for e in os.scandir(p)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    if delta_bytes * 4 <= 512 * 1024 * 1024:
+        delta_urls = F.broadcast(delta_urls)
+    survivors = base.join(delta_urls, "url", "left_anti")
     return survivors.unionByName(delta_resolved)
 
 

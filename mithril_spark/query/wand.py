@@ -33,11 +33,13 @@ class _Cursor:
     """Lazy block cursor over one term's posting blocks (sorted by doc)."""
 
     __slots__ = ("term", "blocks", "df", "block_idx", "docs", "freqs", "off",
-                 "exhausted", "term_ub", "doc_count", "avg_body")
+                 "exhausted", "term_ub", "doc_count", "avg_body",
+                 "blocks_decoded")
 
     def __init__(self, term, blocks, doc_count, avg_body):
         # blocks: list of dicts with first/last/max_freq/doc_ids_enc/freqs_enc
         self.term = term
+        self.blocks_decoded = 0
         self.blocks = sorted(blocks, key=lambda b: b["first_doc_id"])
         self.df = sum(b["doc_count"] for b in self.blocks)
         self.doc_count = doc_count
@@ -90,6 +92,7 @@ class _Cursor:
         self.docs = d
         self.freqs = f
         self.off = 0
+        self.blocks_decoded += 1
 
     def current_doc(self) -> int:
         return int(self.docs[self.off])
@@ -155,9 +158,14 @@ def bm25_wand_topk(
     doc_count: int,
     avg_body_length: float,
     k: int = 10,
+    stats: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Disjunctive block-max WAND top-k; returns [(doc, score)] sorted
-    (score desc, doc asc). Exact — identical to exhaustive evaluation."""
+    (score desc, doc asc). Exact — identical to exhaustive evaluation.
+
+    Pass ``stats`` (a dict) to receive the pruning counters:
+    blocks_total / blocks_decoded / blocks_skipped / docs_scored.
+    """
     if k <= 0:
         return []
     cursors = [
@@ -165,6 +173,8 @@ def bm25_wand_topk(
         for t, blocks in term_blocks.items()
         if blocks
     ]
+    all_cursors = list(cursors)
+    docs_scored = 0
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of size k
 
@@ -204,6 +214,7 @@ def bm25_wand_topk(
                 block_acc += c.current_block_ub()
             if block_acc > threshold():
                 body_len = body_lens.get(pivot_doc, 0)
+                docs_scored += 1
                 score = 0.0
                 # canonical summation order (term name): float addition is
                 # not associative, so every path — WAND, exhaustive, tests —
@@ -222,6 +233,16 @@ def bm25_wand_topk(
             # advance all pre-pivot cursors to the pivot (block skipping)
             for c in live[:pivot_i]:
                 c.seek(pivot_doc)
+
+    if stats is not None:
+        total = sum(len(c.blocks) for c in all_cursors)
+        decoded = sum(c.blocks_decoded for c in all_cursors)
+        stats["blocks_total"] = stats.get("blocks_total", 0) + total
+        stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + decoded
+        stats["blocks_skipped"] = stats.get("blocks_skipped", 0) + (
+            total - decoded
+        )
+        stats["docs_scored"] = stats.get("docs_scored", 0) + docs_scored
 
     out = [(-nd, s) for s, nd in heap]
     out.sort(key=lambda t: (-t[1], t[0]))

@@ -155,6 +155,19 @@ def test_columnar_docmap_rank_identity(oracle):
             ), q
 
 
+def test_columnar_docmap_scalar_path(oracle):
+    """handle_ranking_scalar (per-doc DocMeta via get_meta) over the
+    columnar image == over the dict image — the oracle-compat surface."""
+    from mithril_spark.query.shard import handle_ranking_scalar
+
+    shard = oracle.shards[0]
+    cshard = _to_cols(shard)
+    for q in list(QUERY_SET)[:8]:
+        matches = evaluate_query(q, shard)
+        assert handle_ranking_scalar(q, cshard, matches) == \
+            handle_ranking_scalar(q, shard, matches), q
+
+
 def test_columnar_docmap_with_holes():
     """Missing docids rank as (m, 0, b'', []) on both representations."""
     docs = list(range(0, 40, 2))

@@ -54,14 +54,20 @@ def test_wand_skips_blocks():
         return orig(self, idx)
 
     wand._Cursor._load_block = counting
+    stats = {}
     try:
-        got = bm25_wand_topk(term_blocks, body_lens, n, 30.0, 1)
+        got = bm25_wand_topk(term_blocks, body_lens, n, 30.0, 1, stats=stats)
     finally:
         wand._Cursor._load_block = orig
     want = bm25_exhaustive_topk(term_blocks, body_lens, n, 30.0, 1)
     assert got == want
     total_blocks = len(term_blocks["common"]) + len(term_blocks["rare"])
     assert decoded < total_blocks, "WAND decoded every block — no skipping"
+    # the reported counters agree with the instrumented ground truth
+    assert stats["blocks_total"] == total_blocks
+    assert stats["blocks_decoded"] == decoded
+    assert stats["blocks_skipped"] == total_blocks - decoded > 0
+    assert 0 < stats["docs_scored"] < n
 
 
 def test_engine_bm25_topk(spark, tmp_path_factory):
@@ -106,3 +112,11 @@ def test_engine_bm25_topk(spark, tmp_path_factory):
             )
         want.sort(key=lambda t: (-t[1], t[0]))
         assert got == want[:k], query
+
+    # stats plumbing: same results, sane aggregated counters
+    res, wstats = engine.bm25_topk("search engine", k=10, return_stats=True)
+    assert res == engine.bm25_topk("search engine", k=10)
+    assert wstats["blocks_total"] >= wstats["blocks_decoded"] > 0
+    assert wstats["blocks_skipped"] == (
+        wstats["blocks_total"] - wstats["blocks_decoded"]
+    )
