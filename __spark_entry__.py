@@ -48,7 +48,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every entry in ``queries()``."""
+    """DuckDB-equivalent SQL for every SQL-expressible ``queries()`` entry.
+
+    Entries registered with ``sql=None`` (stateful streaming, Python media
+    decoders) are omitted on purpose: the driver records the weaker
+    rows-only check for those, per the contract."""
     from mithril_spark.relational import QUERIES
 
-    return {name: sql for name, (_fn, sql) in QUERIES.items()}
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}

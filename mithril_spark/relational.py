@@ -1344,6 +1344,68 @@ ORDER BY dot_q DESC, vec_id ASC LIMIT 5
 
 
 # --------------------------------------------------------------------------
+# Rows-only entries (no SQL oracle by nature; the driver records a weaker
+# rows-only check for these and the judge sees which)
+# --------------------------------------------------------------------------
+
+
+def q_stream_sessionize(spark, sf):
+    """Stateful streaming sessionization over the events table, run to
+    completion with ``availableNow`` — the CORRECTNESS surface for the
+    ``applyInPandasWithState`` operator path. Not SQL-expressible (the
+    batch twin ``q_events_sessionize`` carries the SQL oracle); the rows
+    are deterministic: one availableNow batch, 30-min-gap sessions."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .streaming import stream_sessionize
+
+    path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source needs a DIRECTORY; expose the single parquet
+    # file through a temp dir of symlinks (no data copy)
+    src_dir = tempfile.mkdtemp(prefix="mithril_stream_src_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ck = tempfile.mkdtemp(prefix="mithril_stream_ck_")
+    name = "mithril_sess_" + hashlib.md5(ck.encode()).hexdigest()[:10]
+    q = (
+        stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "session_id")
+
+
+def q_media_features(spark, sf):
+    """Multimodal decode + feature extraction over the deterministic
+    synthetic media table (real P6/WAV/Y4M decoders, Arrow-batched).
+    Python decoders have no SQL twin — rows-only check; pixel/sample-exact
+    determinism is gated in tests/test_pipeline_ops.py."""
+    from .pipeline_ops import extract_media_features, synthetic_media_df
+
+    return extract_media_features(synthetic_media_df(spark, 60)).orderBy(
+        "media_id"
+    )
+
+
+def q_media_frames(spark, sf):
+    """Per-frame video sampling (Y4M decode at the frame_sample_plan
+    timestamps) — rows-only check, same rationale as q_media_features."""
+    from .pipeline_ops import sample_frames, synthetic_media_df
+
+    return sample_frames(synthetic_media_df(spark, 60)).orderBy(
+        "media_id", "sample_ms"
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1371,4 +1433,9 @@ QUERIES: dict[str, tuple] = {
     "q_ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_ann_ivf_probe": (q_ann_ivf_probe, Q_ANN_IVF_PROBE_SQL),
+    # rows-only entries: sql=None (not SQL-expressible — stateful
+    # streaming / Python media decoders); driver records rows-only checks
+    "q_stream_sessionize": (q_stream_sessionize, None),
+    "q_media_features": (q_media_features, None),
+    "q_media_frames": (q_media_frames, None),
 }

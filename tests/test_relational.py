@@ -41,6 +41,13 @@ def test_query_matches_oracle(spark, sf_duck, name):
     sf, duck = sf_duck
     fn, sql = QUERIES[name]
     got = _canon(fn(spark, sf).toPandas())
+    if sql is None:
+        # rows-only entry (stateful streaming / Python decoders): must run
+        # and produce deterministic rows across invocations
+        again = _canon(fn(spark, sf).toPandas())
+        assert len(got) > 0
+        assert got.equals(again), "rows-only entry not deterministic"
+        return
     want = _canon(duck.execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns), "column names diverge"
     assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
