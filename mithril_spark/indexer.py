@@ -726,9 +726,15 @@ def read_stage(spark: SparkSession, index_dir: str) -> DataFrame:
     for d in deltas[1:]:
         delta_all = delta_all.unionByName(d)
     payload = [c for c in base.columns if c != "url"]
+    # latest generation wins; within one generation (streamed re-crawls of
+    # the same url land in one delta) the content md5 breaks the tie
+    # deterministically — max_by alone would pick an arbitrary row
     delta_resolved = (
         delta_all.groupBy("url")
-        .agg(F.max_by(F.struct(*payload), F.col("_gen")).alias("_r"))
+        .agg(F.max_by(
+            F.struct(*payload),
+            F.struct(F.col("_gen"), F.md5(F.col("text")).alias("_h")),
+        ).alias("_r"))
         .select("url", *[F.col("_r." + c).alias(c) for c in payload])
     )
     delta_urls = delta_all.select("url").distinct()
@@ -749,9 +755,10 @@ def read_stage(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def merge_index_delta(
     index_dir: str,
-    new_pages: DataFrame,
+    new_pages: DataFrame | None = None,
     sort_partitions: int | None = None,
     pagerank: bool = False,
+    extracted: DataFrame | None = None,
 ) -> dict:
     """Incrementally fold new pages into an existing index.
 
@@ -769,9 +776,14 @@ def merge_index_delta(
     (latest generation wins).
 
     The reference's builder is batch-only (index/src/main.cpp); this is the
-    "crawler keeps writing" continuation of streaming.stream_extract_pages.
+    "crawler keeps writing" continuation of streaming.stream_extract_pages:
+    pass ``extracted`` (rows already in EXTRACT_SCHEMA — e.g. the streaming
+    extraction's sink table) to skip the parse entirely and fold the
+    already-extracted docs in as a generation.
     """
-    spark = new_pages.sparkSession
+    if (new_pages is None) == (extracted is None):
+        raise ValueError("pass exactly one of new_pages / extracted")
+    spark = (new_pages if new_pages is not None else extracted).sparkSession
     with open(os.path.join(index_dir, "index_meta.json")) as f:
         meta = json.load(f)
     metrics: list[dict] = []
@@ -785,11 +797,15 @@ def merge_index_delta(
         sort_partitions = max(spark.sparkContext.defaultParallelism, 4)
 
     m = phase("extract_delta")
-    if "html" in new_pages.columns:
-        new_pages = dedupe_pages(new_pages)
+    if extracted is not None:
+        delta_rows = extracted
+    else:
+        if "html" in new_pages.columns:
+            new_pages = dedupe_pages(new_pages)
+        delta_rows = extract_docs(new_pages)
     n_existing = len(_stage_generations(index_dir))
     delta_path = os.path.join(index_dir, f"stage_delta_{n_existing:05d}")
-    _write_once(extract_docs(new_pages), delta_path, force=True)
+    _write_once(delta_rows, delta_path, force=True)
     m["ran"] = True
     m["finished"] = time.time() - t_start
 

@@ -80,6 +80,35 @@ def test_two_increments_equal_full_rebuild(spark, tmp_path_factory, shards):
     assert before == after
 
 
+def test_streaming_ingest_feeds_incremental_merge(spark, tmp_path_factory):
+    """The full freshness loop: the crawler keeps writing (streaming
+    extraction over a pages directory), merge_index_delta folds the
+    stream's extracted rows into the index WITHOUT re-parsing, and the
+    result is byte-identical to a from-scratch build over the union."""
+    from mithril_spark.streaming import stream_extract_pages
+
+    pages = generate_pages(100, seed=42)
+    p1, p2 = pages[:60], pages[60:]
+    tmp = tmp_path_factory.mktemp("stream_inc")
+
+    full_dir = str(tmp / "full")
+    build_index(pages_to_df(spark, pages), full_dir, num_shards=2)
+
+    inc_dir = str(tmp / "inc")
+    build_index(pages_to_df(spark, p1), inc_dir, num_shards=2)
+
+    # crawler writes p2; streaming extraction picks it up incrementally
+    pages_dir = str(tmp / "pages")
+    extracted_dir = str(tmp / "extracted")
+    ckpt = str(tmp / "ckpt")
+    pages_to_df(spark, p2).write.parquet(pages_dir)
+    q = stream_extract_pages(spark, pages_dir, extracted_dir, ckpt)
+    q.awaitTermination(120)
+
+    merge_index_delta(inc_dir, extracted=spark.read.parquet(extracted_dir))
+    _assert_same_index(spark, full_dir, inc_dir)
+
+
 def test_merge_replaces_recrawled_url(spark, tmp_path_factory):
     """A re-crawled url is replaced by its newest snapshot (latest
     generation wins), mirroring dedupe_pages semantics."""
