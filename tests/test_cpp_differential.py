@@ -353,3 +353,141 @@ def test_query_lexer_token_identical(lex_driver):
         assert py_fail == cpp_fail, (q, cpp_toks[:3])
         if not py_fail:
             assert cpp_toks == py, (q, cpp_toks, py)
+
+
+# --- snippet generator differential (web/src/Snippets.h) ---
+
+@pytest.fixture(scope="module")
+def snippet_driver(tmp_path_factory):
+    # "-lz" rides in sources so it lands after the objects in link order
+    # (DocumentAccessor's gzip loader links zlib even though the driver
+    # never opens a store)
+    return _compile(
+        tmp_path_factory, "snippet_driver",
+        ["tests/cpp_ref/snippet_driver.cpp", "-lz"],
+        ["tests/cpp_ref/shim", f"{REF}/common/include", f"{REF}/web/src"],
+    )
+
+
+def _snippet_ref(exe, requests: list[bytes]) -> list[bytes]:
+    out = subprocess.run([exe], input=b"".join(requests),
+                         capture_output=True, timeout=300).stdout
+    i, res = 0, []
+    while i < len(out):
+        nl = out.index(b"\n", i)
+        n = int(out[i:nl])
+        res.append(out[nl + 1:nl + 1 + n])
+        i = nl + 1 + n + 1
+    return res
+
+
+def _g_req(text: bytes, terms: list[bytes], positions: dict) -> bytes:
+    req = b"G %d %d %d\n%s\n" % (len(text), len(terms), len(positions), text)
+    for t in terms:
+        req += b"%d\n%s\n" % (len(t), t)
+    for t, ps in positions.items():
+        req += b"%d\n%s\n%d %s\n" % (
+            len(t), t, len(ps), b" ".join(b"%d" % p for p in ps))
+    return req
+
+
+def test_snippet_chain_matches_reference(snippet_driver):
+    """generate_snippet (positions-first chain + all three extractors) is
+    byte-identical to the compiled reference's Snippets.h on fixture-corpus
+    texts with REAL ranking tokens/positions plus randomized cases."""
+    from mithril_spark.fixtures import QUERY_SET, generate_pages
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.ranking import tokenify_query
+    from mithril_spark.snippets import combined_text, generate_snippet
+
+    pages = generate_pages(120, seed=42)
+    oracle = OracleIndex.build(
+        [(r["url"].encode(), r["html"]) for r in pages], num_shards=1
+    )
+    shard = oracle.shards[0]
+
+    cases = []  # (text_str, terms_strs, positions_dict)
+    for q in list(QUERY_SET)[:12]:
+        tokens, _si, _ni = tokenify_query(q)
+        qterms = [t for t, _m in tokens]
+        for doc_id, _s, url, _t in oracle.top_k(q)[:4]:
+            doc = next(d for d in oracle.docs if d.url == url)
+            text = combined_text(
+                [t.decode("latin-1") for t in doc.title_words],
+                b" ".join(doc.desc_words).decode("latin-1"),
+                doc.text.decode("latin-1"),
+            )
+            positions = {}
+            for term, _m in tokens:
+                ps = [int(x) for x in shard.get_positions(term, int(doc_id))]
+                if ps and max(ps) < 65536:  # the reference slot is uint16
+                    positions[term] = ps
+            cases.append((text, qterms, positions))
+
+    rng = random.Random(20260816)
+    filler = ("alpha beta. gamma needle? delta! word here tail "
+              "x" * 3 + " ").split()
+    for _ in range(80):
+        words = [rng.choice(filler) for _ in range(rng.randint(0, 120))]
+        text = " ".join(words)
+        terms = [rng.choice(filler + ["zz", "needle"])
+                 for _ in range(rng.randint(0, 3))]
+        positions = {}
+        for t in set(terms[:2]):
+            if rng.random() < 0.6:
+                positions[t] = sorted(
+                    rng.randrange(0, 200) for _ in range(rng.randint(1, 4)))
+        cases.append((text, terms, positions))
+    cases.append(("", ["a"], {}))
+    cases.append(("short text", [], {}))
+    cases.append(("x" * 300, ["zz"], {}))
+
+    reqs = [
+        _g_req(text.encode("latin-1"),
+               [t.encode("latin-1") for t in terms],
+               {t.encode("latin-1"): ps for t, ps in positions.items()})
+        for text, terms, positions in cases
+    ]
+    ref = _snippet_ref(snippet_driver, reqs)
+    assert len(ref) == len(cases)
+    for (text, terms, positions), want in zip(cases, ref):
+        got = generate_snippet(text, terms, positions=positions or None)
+        assert got.encode("latin-1") == want, (text[:60], terms, positions)
+
+
+def test_combined_text_matches_reference(snippet_driver):
+    """combined_text == the reference DocumentAccessor::combinedText for
+    fixture docs and randomized word vectors."""
+    from mithril_spark.fixtures import generate_pages
+    from mithril_spark.snippets import combined_text
+    from mithril_spark.text.docproc import process_page
+
+    cases = []  # (title words, desc words, body words) as bytes lists
+    for p in generate_pages(40, seed=7):
+        d = process_page(p["url"].encode(), p["html"])
+        if d is None:
+            continue
+        cases.append((d.title_words, d.desc_words, d.text.split(b" ")))
+    rng = random.Random(5)
+    vocab = [b"a", b"bb", b"word.", b"x!y", b"end?"]
+    for _ in range(40):
+        cases.append(tuple(
+            [rng.choice(vocab) for _ in range(rng.randint(0, 5))]
+            for _ in range(3)
+        ))
+
+    reqs = []
+    for title, desc, body in cases:
+        req = b"T %d %d %d\n" % (len(title), len(desc), len(body))
+        for w in (*title, *desc, *body):
+            req += b"%d\n%s\n" % (len(w), w)
+        reqs.append(req)
+    ref = _snippet_ref(snippet_driver, reqs)
+    assert len(ref) == len(cases)
+    for (title, desc, body), want in zip(cases, ref):
+        got = combined_text(
+            [t.decode("latin-1") for t in title],
+            b" ".join(desc).decode("latin-1"),
+            b" ".join(body).decode("latin-1"),
+        )
+        assert got.encode("latin-1") == want, (title, desc[:3], body[:3])
