@@ -498,7 +498,12 @@ class NotISR(ISR):
         if target < self.current:
             self.reader.seek_to_doc_id(1)
             self.current = 0
-        self.current = target - 1
+        # docid_t is uint32: "target - 1" UNDERFLOWS for target 0
+        # (NotIndexStreamReader.h:69 "current_doc_id_ = target_doc_id - 1"),
+        # leaving current at 0xFFFFFFFF — hasNext() false, stream dead.
+        # seek(0) therefore KILLS a NotISR; found by the compiled-reference
+        # ISR differential (tests/test_cpp_differential.py isr_driver).
+        self.current = (target - 1) & DOCID_MAX
         self.move_next()
 
 

@@ -491,3 +491,229 @@ def test_combined_text_matches_reference(snippet_driver):
             b" ".join(body).decode("latin-1"),
         )
         assert got.encode("latin-1") == want, (title, desc[:3], body[:3])
+
+
+# --- ISR algebra differential (index/src/TermAND/TermOR/NotISR) ---
+
+@pytest.fixture(scope="module")
+def isr_driver(tmp_path_factory):
+    return _compile(
+        tmp_path_factory, "isr_driver",
+        ["tests/cpp_ref/isr_driver.cpp",
+         f"{REF}/index/src/TermAND.cpp",
+         f"{REF}/index/src/TermOR.cpp",
+         f"{REF}/index/src/NotIndexStreamReader.cpp",
+         # linked for TermAND's dynamic_cast typeinfo only (no index opened)
+         f"{REF}/index/src/TermReader.cpp",
+         f"{REF}/index/src/TermDictionary.cpp",
+         f"{REF}/index/src/PositionIndex.cpp",
+         f"{REF}/index/src/PostingBlock.cpp",
+         f"{REF}/common/src/data/Reader.cpp",
+         f"{REF}/common/src/data/Writer.cpp",
+         "-include", "cstring",  # PositionIndex.cpp uses std::memcpy bare
+         "-lz"],
+        ["tests/cpp_ref/shim", f"{REF}/index/src", f"{REF}/common/include"],
+    )
+
+
+class _VecLeaf:
+    """TermReader cursor semantics over a plain list (TermReader.cpp
+    hasNext/moveNext/currentDocID/seekToDocID), deliberately NOT a
+    TermReaderISR so both sides keep construction order in TermAND."""
+
+    def __init__(self, docs):
+        self.docs = docs
+        self.idx = 0
+        self.at_end = not docs
+
+    def has_next(self):
+        return not self.at_end and self.idx < len(self.docs)
+
+    def move_next(self):
+        if not self.has_next():
+            self.at_end = True
+            return
+        self.idx += 1
+
+    def current_doc_id(self):
+        from mithril_spark.query.isr import IsrError
+
+        if not self.has_next():
+            raise IsrError("No current posting")
+        return self.docs[self.idx]
+
+    def seek_to_doc_id(self, t):
+        if not self.docs or self.at_end:
+            return
+        if self.idx < len(self.docs) and self.docs[self.idx] >= t:
+            return
+        if t > self.docs[-1]:
+            self.idx = len(self.docs)
+            self.at_end = True
+            return
+        while self.idx < len(self.docs) and self.docs[self.idx] < t:
+            self.idx += 1
+        if self.idx >= len(self.docs):
+            self.at_end = True
+
+    def is_identity(self):
+        return False
+
+
+def _build_py(toks, i, dc):
+    from mithril_spark.query.isr import (
+        IdentityISR, NotISR, TermANDISR, TermORISR,
+    )
+
+    t = toks[i]
+    if t in ("A", "O"):
+        left, i = _build_py(toks, i + 1, dc)
+        right, i = _build_py(toks, i, dc)
+        cls = TermANDISR if t == "A" else TermORISR
+        return cls([left, right]), i
+    if t == "N":
+        child, i = _build_py(toks, i + 1, dc)
+        return NotISR(child, dc), i
+    if t == "I":
+        return IdentityISR(), i + 1
+    n = int(toks[i + 1])
+    docs = [int(x) for x in toks[i + 2:i + 2 + n]]
+    return _VecLeaf(docs), i + 2 + n
+
+
+def _set_eval(toks, i, dc):
+    """Pure set-algebra twin over the same prefix tree (vecisr kernels)."""
+    import numpy as np
+
+    from mithril_spark.query.vecisr import (
+        complement_sorted, intersect_sorted, union_sorted,
+    )
+
+    t = toks[i]
+    if t in ("A", "O"):
+        left, i = _set_eval(toks, i + 1, dc)
+        right, i = _set_eval(toks, i, dc)
+        op = intersect_sorted if t == "A" else union_sorted
+        return op(left, right), i
+    if t == "N":
+        child, i = _set_eval(toks, i + 1, dc)
+        return complement_sorted(child, dc), i
+    if t == "I":
+        return np.empty(0, dtype=np.int64), i + 1
+    n = int(toks[i + 1])
+    docs = np.array([int(x) for x in toks[i + 2:i + 2 + n]], dtype=np.int64)
+    return docs, i + 2 + n
+
+
+def _tree_seek_safe(toks, i=0, mode=0):
+    """_seek_safe's transition rules applied to the raw prefix tree
+    (mode 0=NONE 1=FWD 2=ARB) — must mirror query/vecisr.py."""
+    t = toks[i]
+    if t in ("A", "O"):
+        child_mode = 2 if (t == "A" or mode != 0) else 0
+        ok1, i = _tree_seek_safe(toks, i + 1, child_mode)
+        ok2, i = _tree_seek_safe(toks, i, child_mode)
+        return ok1 and ok2, i
+    if t == "N":
+        ok, i = _tree_seek_safe(toks, i + 1, 1)
+        return ok and mode != 2, i
+    if t == "I":
+        return True, i + 1
+    n = int(toks[i + 1])
+    return True, i + 2 + n
+
+
+def _random_tree(rng, dc, depth=0):
+    r = rng.random()
+    if depth >= 4 or r < 0.4:
+        if r < 0.04:
+            return ["I"]
+        n = rng.randint(0, max(dc, 1))
+        docs = sorted(rng.sample(range(max(dc, 1)), min(n, max(dc, 1))))
+        return ["L", str(len(docs))] + [str(d) for d in docs]
+    if r < 0.6:
+        return ["A"] + _random_tree(rng, dc, depth + 1) + _random_tree(rng, dc, depth + 1)
+    if r < 0.8:
+        return ["O"] + _random_tree(rng, dc, depth + 1) + _random_tree(rng, dc, depth + 1)
+    return ["N"] + _random_tree(rng, dc, depth + 1)
+
+
+def test_isr_algebra_matches_reference(isr_driver):
+    """The scalar ISR cursor algebra (TermAND zig-zag, TermOR min-of-heads,
+    NotISR complement incl. the doc-0 and backward-seek rewind quirks) is
+    state-identical to the compiled reference under randomized trees and
+    randomized move/seek interleavings; and for trees vecisr._seek_safe
+    accepts, the numpy set-algebra result equals the enumerated walk —
+    validating the safety gate against the actual C++."""
+    from mithril_spark.query.isr import IsrError
+
+    rng = random.Random(20260816)
+    cases = []
+    for _ in range(400):
+        dc = rng.choice([0, 1, 5, 20, 60])
+        toks = _random_tree(rng, dc)
+        if rng.random() < 0.5:
+            ops = ["m"] * rng.randint(0, min(dc + 2, 25))
+        else:
+            ops = [
+                ("m" if rng.random() < 0.5
+                 else f"s{rng.randint(0, dc + 3)}")
+                for _ in range(rng.randint(0, 12))
+            ]
+        cases.append((dc, toks, ops))
+
+    inp = b"".join(
+        (f"C {dc} {len(toks)} {len(ops)}\n{' '.join(toks)}\n"
+         f"{' '.join(ops)}\n").encode()
+        for dc, toks, ops in cases
+    )
+    out = subprocess.run([isr_driver], input=inp, capture_output=True,
+                         timeout=300).stdout.decode()
+    blocks = [b for b in out.split("END\n") if b != ""]
+    assert len(blocks) == len(cases)
+
+    n_unsafe = n_enum = 0
+    for (dc, toks, ops), block in zip(cases, blocks):
+        ref_states = block.splitlines()
+        try:
+            isr, _ = _build_py(toks, 0, dc)
+            py_states = []
+
+            def state():
+                if isr.has_next():
+                    py_states.append(f"1 {int(isr.current_doc_id())}")
+                else:
+                    py_states.append("0 X")
+
+            state()
+            for op in ops:
+                if op == "m":
+                    isr.move_next()
+                else:
+                    isr.seek_to_doc_id(int(op[1:]))
+                state()
+        except IsrError:
+            py_states = py_states + ["E"] if False else ["E"]
+        if ref_states == ["E"] or py_states == ["E"]:
+            assert ref_states[-1] == "E" and py_states == ["E"], (toks, ops)
+            continue
+        assert py_states == ref_states, (dc, toks, ops, py_states[:5],
+                                         ref_states[:5])
+
+        # enumerate-to-exhaustion check + vec gate validation (m-only walks
+        # start from a fresh tree: the op walk above consumed state)
+        if all(o == "m" for o in ops):
+            isr2, _ = _build_py(toks, 0, dc)
+            walked = []
+            while isr2.has_next():
+                walked.append(int(isr2.current_doc_id()))
+                isr2.move_next()
+            safe, _ = _tree_seek_safe(toks)
+            if safe:
+                n_enum += 1
+                sset, _ = _set_eval(toks, 0, dc)
+                assert walked == [int(x) for x in sset], (dc, toks)
+            else:
+                n_unsafe += 1
+    # the generator must actually produce both populations
+    assert n_enum > 50 and n_unsafe > 5, (n_enum, n_unsafe)
