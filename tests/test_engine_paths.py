@@ -59,3 +59,8 @@ def test_cogroup_matches_and_wand_agree_with_driver_path(
     for q, k in [("search engine", 10), ("granite quartz marble", 5),
                  ("the and of", 5)]:
         assert co.bm25_topk(q, k=k) == drv.bm25_topk(q, k=k), q
+    # per-hit positions + snippets must be payload-path-independent too
+    for q in ["search engine", "granite OR marble"]:
+        assert co.top_k_many([q], with_positions=True) == \
+            drv.top_k_many([q], with_positions=True), q
+        assert co.top_k_with_snippets(q) == drv.top_k_with_snippets(q), q
