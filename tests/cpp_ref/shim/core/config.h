@@ -39,3 +39,10 @@ public:
     std::string GetString(const std::string& k) const { return kv_.at(k); }
 };
 }  // namespace core
+
+// The reference writes "core::Config" from inside namespace mithril::*;
+// when a TU also sees the mithril::core shims (mem_map_file), unqualified
+// lookup finds mithril::core first — alias Config there too.
+namespace mithril::core {
+using ::core::Config;
+}  // namespace mithril::core

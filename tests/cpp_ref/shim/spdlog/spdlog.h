@@ -33,6 +33,12 @@ inline std::shared_ptr<logger> basic_logger_mt(const std::string&,
     return std::make_shared<logger>();
 }
 
+inline void set_level(level::level_enum) {}
+inline void set_pattern(const std::string&) {}
+inline std::shared_ptr<logger> get(const std::string&) {
+    return std::make_shared<logger>();
+}
+
 template <typename... Args> inline void trace(Args&&...) {}
 template <typename... Args> inline void debug(Args&&...) {}
 template <typename... Args> inline void info(Args&&...) {}

@@ -1,0 +1,250 @@
+"""FULL-STACK differential: our engine vs the reference's own compiled
+index builder + query engine, end to end.
+
+The reference's IndexBuilder (index/src/main.cpp) consumes one gzipped
+serialized data::Document per file; we serialize the SAME parsed fixture
+docs (same process_page output, ids = url-sort rank, so docids align by
+construction), build a real reference index with the reference's own
+binary, and answer the full fixture query set through the reference's
+QueryManager (QueryEngine ISR lowering + the production ranking pipeline).
+Results are compared (docid, score, url), position-exact in list order.
+
+Two reference DEFECTS make a byte-layout-dependent tail incomparable —
+both in the sequential position cursors QueryManager threads through
+ranking (SetupPositionIndexPointers):
+
+* ``getPositionsFromByte`` (PositionIndex.cpp:587-638) bounds its scan by
+  the term's TOTAL doc_count from wherever the cursor stands, so once the
+  cursor exhausts the term's region it parses the NEXT TERM's bytes as
+  (doc, flags, count) records — matches ranked after the term's last
+  stored-positions doc can receive PHANTOM positions from unrelated data;
+* ``hasPositionsFromByte`` (PositionIndex.cpp:531-571) consumes a whole
+  real entry on every miss (returns the advanced pointer when
+  curr_doc_id > target), so the description-presence cursor desyncs
+  permanently at its first miss.
+
+The reference's own PUBLIC lookups (getPositions / hasPositions — the
+non-cursor API its own tests use) return the correct data and agree with
+our store exactly (probed during development). Our engine implements the
+evident intent (per-doc-correct lookups); the corrupted values depend on
+the physical byte layout of positions.data and are not reproducible from
+any faithful logical index. The test therefore computes, per query, the
+first docid whose reference score can be touched by either defect (body
+cursor exhausted, or first desc-cursor miss) and asserts EXACT equality
+below it — and that every difference at or above it is thereby explained
+(zero unexplained diffs), with a healthy count of fully-identical queries.
+"""
+
+import bisect
+import gzip
+import os
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+REF = "/root/reference"
+
+
+def _compile(tmp_path_factory, name, sources, includes):
+    gxx = shutil.which("g++") or shutil.which("clang++")
+    if gxx is None:
+        pytest.skip("no C++ compiler available")
+    exe = str(tmp_path_factory.mktemp("cppe2e") / name)
+    cmd = [gxx, "-std=c++20", "-O2", "-include", "cstring", "-include", "cmath"]
+    for inc in includes:
+        cmd += ["-I", inc]
+    cmd += [*sources, "-o", exe]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        pytest.skip(f"reference compile failed: {proc.stderr[:500]}")
+    return exe
+
+
+INDEX_SOURCES = [
+    f"{REF}/index/src/main.cpp",
+    f"{REF}/index/src/InvertedIndex.cpp",
+    f"{REF}/index/src/PositionIndex.cpp",
+    f"{REF}/index/src/TermDictionary.cpp",
+    f"{REF}/index/src/TermStore.cpp",
+    f"{REF}/index/src/PostingBlock.cpp",
+    f"{REF}/common/src/data/Reader.cpp",
+    f"{REF}/common/src/data/Writer.cpp",
+    "-lz", "-pthread",
+]
+QUERY_SOURCES = [
+    "tests/cpp_ref/e2e_query_driver.cpp",
+    f"{REF}/query/src/QueryManager.cpp",
+    f"{REF}/query/src/Lexer.cpp",
+    f"{REF}/query/src/intersect.cpp",
+    f"{REF}/index/src/TermReader.cpp",
+    f"{REF}/index/src/TermDictionary.cpp",
+    f"{REF}/index/src/PositionIndex.cpp",
+    f"{REF}/index/src/PostingBlock.cpp",
+    f"{REF}/index/src/DocumentMapReader.cpp",
+    f"{REF}/index/src/GenericTermReader.cpp",
+    f"{REF}/index/src/ISRFactory.cpp",
+    f"{REF}/index/src/IndexStreamReader.cpp",
+    f"{REF}/index/src/NotIndexStreamReader.cpp",
+    f"{REF}/index/src/TermAND.cpp",
+    f"{REF}/index/src/TermOR.cpp",
+    f"{REF}/index/src/TermQuote.cpp",
+    f"{REF}/index/src/TermPhrase.cpp",
+    f"{REF}/ranking/src/Ranker.cpp",
+    f"{REF}/ranking/src/BM25.cpp",
+    f"{REF}/ranking/src/StaticRanker.cpp",
+    f"{REF}/ranking/src/DynamicRanker.cpp",
+    f"{REF}/common/src/data/Reader.cpp",
+    f"{REF}/common/src/data/Writer.cpp",
+    "-lz", "-pthread",
+]
+INCLUDES = [
+    "tests/cpp_ref/shim",
+    f"{REF}/query/src", f"{REF}/index/src", f"{REF}/ranking/src",
+    f"{REF}/common/include", f"{REF}/ranking/include",
+]
+
+
+def _u32(v: int) -> bytes:
+    return struct.pack(">I", v)
+
+
+def _s(b: bytes) -> bytes:
+    return _u32(len(b)) + b
+
+
+def _vs(words) -> bytes:
+    """vector<string>: [u32 total incl NULs][NUL-terminated strings]
+    (data/Serialize.h:121-141)."""
+    return _u32(sum(len(w) + 1 for w in words)) + b"".join(
+        bytes(w) + b"\0" for w in words
+    )
+
+
+def _write_reference_corpus(docs, crawl_dir: str) -> None:
+    os.makedirs(crawl_dir + "/chunk_0")
+    for i, d in enumerate(docs):
+        payload = (_u32(i) + _s(d.url) + _vs(d.title_words)
+                   + _vs(d.desc_words) + _vs(d.body_words)
+                   + _vs(d.forward_links))
+        with gzip.open(f"{crawl_dir}/chunk_0/doc_{i:010d}", "wb") as f:
+            f.write(payload)
+
+
+@pytest.fixture(scope="module")
+def ref_stack(tmp_path_factory):
+    builder = _compile(tmp_path_factory, "index_builder", INDEX_SOURCES,
+                       INCLUDES)
+    query = _compile(tmp_path_factory, "e2e_query", QUERY_SOURCES, INCLUDES)
+    return builder, query
+
+
+def test_reference_index_and_query_end_to_end(ref_stack, tmp_path_factory):
+    from mithril_spark.fixtures import QUERY_SET, generate_pages
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.query.shard import evaluate_query
+    from mithril_spark.ranking import tokenify_query
+    from mithril_spark.text.docproc import process_page
+    from mithril_spark.text.normalize import STOPWORDS
+
+    builder, query_exe = ref_stack
+    work = str(tmp_path_factory.mktemp("e2e"))
+    pages = generate_pages(150, seed=42)
+    docs = sorted(
+        (d for d in (process_page(p["url"].encode(), p["html"])
+                     for p in pages) if d is not None),
+        key=lambda d: d.url,
+    )
+    _write_reference_corpus(docs, work + "/crawl")
+    r = subprocess.run(
+        [builder, work + "/crawl", f"--output={work}/index", "--force",
+         "--quiet"],
+        capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+
+    # same docid policy by construction: url-sorted dense ids
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages], num_shards=1
+    )
+    shard = oracle.shards[0]
+    assert shard.doc_count == len(docs)
+
+    queries = list(QUERY_SET)
+    env = {**os.environ, "MITHRIL_CONF_DIR": f"{REF}/ranking/config"}
+    out_path = work + "/answers.txt"
+    r = subprocess.run(
+        [query_exe, out_path, work + "/index"],
+        input=("\n".join(queries) + "\n").encode(),
+        env=env, capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    lines = open(out_path).read().splitlines()
+    blocks, i = [], 0
+    while i < len(lines):
+        assert lines[i].startswith("R ")
+        n = int(lines[i][2:])
+        blk = []
+        for j in range(n):
+            d, sc, url = lines[i + 1 + j].split(" ", 2)
+            blk.append((int(d), int(sc), url))
+        assert lines[i + 1 + n] == "END"
+        blocks.append(blk)
+        i += n + 2
+    assert len(blocks) == len(queries)
+
+    def clean_limit(q):
+        """First docid whose REFERENCE score may be corrupted by the two
+        cursor defects documented in the module docstring; None = none."""
+        tokens, _si, _ni = tokenify_query(q)
+        matches = [int(m) for m in evaluate_query(q, shard)]
+        lim = None
+
+        def upd(v):
+            nonlocal lim
+            lim = v if lim is None else min(lim, v)
+
+        for term, _m in tokens:
+            if term.encode() in STOPWORDS:
+                continue
+            entry = shard.positions.get(term)
+            if entry is not None and len(entry[0]):
+                later = [m for m in matches if m > int(entry[0][-1])]
+                if later:
+                    upd(later[0])  # body cursor exhausts its region
+            dentry = shard.positions.get("%" + term)
+            if dentry is not None and len(dentry[0]):
+                ddocs = [int(x) for x in dentry[0]]
+                for m in matches:
+                    k = bisect.bisect_left(ddocs, m)
+                    if k >= len(ddocs) or ddocs[k] != m:
+                        upd(m)  # desc cursor desyncs at its first miss
+                        break
+        return lim
+
+    fully_identical = 0
+    explained = 0
+    for q, ref in zip(queries, blocks):
+        ours = [(int(d), int(s), u.decode("latin-1"))
+                for d, s, u, _t in oracle.top_k(q)]
+        if ours == ref:
+            fully_identical += 1
+            continue
+        lim = clean_limit(q)
+        assert lim is not None, (
+            q, "results differ but no cursor defect applies")
+        # exact positional equality on the clean prefix of both lists
+        ours_clean = [t for t in ours if t[0] < lim]
+        ref_clean = [t for t in ref if t[0] < lim]
+        assert ours_clean == ref_clean, (q, lim, ours_clean[:3], ref_clean[:3])
+        # every diverging doc is at/above the defect horizon
+        od, rd = dict((d, (s, u)) for d, s, u in ours), dict(
+            (d, (s, u)) for d, s, u in ref)
+        for d in set(od) | set(rd):
+            if od.get(d) != rd.get(d):
+                assert d >= lim, (q, d, od.get(d), rd.get(d), lim)
+                explained += 1
+    # the comparison must be substantive, not vacuously tolerant
+    assert fully_identical >= len(queries) // 2, fully_identical
+    assert explained > 0  # the defect model is exercised, not dead code
