@@ -48,7 +48,7 @@ import pandas as pd
 
 from .query import grammar as g
 from .query.isr import DocMapCols, DocMeta, ShardIndex
-from .query.shard import evaluate_query, handle_ranking, top_k_from_sorted_lists
+from .query.shard import evaluate_query, handle_ranking, merge_shard_topk
 from .ranking import tokenify_query
 
 RESULT_SCHEMA = "shard int, doc_id long, score long, url binary, title_packed binary"
@@ -440,10 +440,15 @@ class SearchEngine:
             per_query[int(r["qidx"])].setdefault(int(r["shard"]), []).append(hit)
         results = []
         for by_shard in per_query:
-            ordered_lists = [by_shard[s] for s in sorted(by_shard)]
-            results.append(
-                top_k_from_sorted_lists(ordered_lists) if ordered_lists else []
-            )
+            # the coordinator merge compares worker-LOCAL docids
+            # (merge_shard_topk docstring) — delocalize, merge, re-globalize
+            ordered = sorted(by_shard)
+            lists = [
+                [(d - s * shard_size, *rest) for d, *rest in by_shard[s]]
+                for s in ordered
+            ]
+            bases = [s * shard_size for s in ordered]
+            results.append(merge_shard_topk(lists, bases) if lists else [])
         return results
 
     def bm25_topk(self, query: str, k: int = 10,

@@ -157,7 +157,12 @@ def top_k_elements_fast(
 def top_k_from_sorted_lists(
     sorted_lists: list[list[tuple]], k: int = TOP_K
 ) -> list[tuple]:
-    """K-way head merge across shard lists in shard order (QueryManager.cpp:67-114)."""
+    """K-way head merge across shard lists in shard order (QueryManager.cpp:67-114).
+
+    Elements compare by (score desc, t[0] desc); exact ties keep the
+    earlier list (the reference replaces only on strict comparator wins).
+    NB: the reference compares worker-LOCAL docids — callers must pass
+    local ids in t[0] and globalize afterwards (merge_shard_topk)."""
     if len(sorted_lists) == 1:
         return sorted_lists[0]
     idx = [0] * len(sorted_lists)
@@ -177,6 +182,23 @@ def top_k_from_sorted_lists(
         out.append(best)
         idx[best_j] += 1
     return out
+
+
+def merge_shard_topk(
+    per_shard: list[list[tuple]], bases: list[int], k: int = TOP_K
+) -> list[tuple]:
+    """Coordinator merge over per-shard top-50s, globalizing docids AFTER
+    the merge: the reference's TopKFromSortedLists comparator reads the
+    tuples' worker-LOCAL docids (QueryManager.cpp:72-77), so cross-shard
+    score ties order by local id desc (then first-worker-wins) — found by
+    the multi-worker end-to-end differential (tests/test_cpp_e2e.py);
+    merging on globalized ids reordered those ties."""
+    tagged = [
+        [(*t, base) for t in lst]
+        for lst, base in zip(per_shard, bases)
+    ]
+    merged = top_k_from_sorted_lists(tagged, k)
+    return [(t[0] + t[-1], *t[1:-1]) for t in merged]
 
 
 def handle_ranking_scalar(
@@ -487,9 +509,7 @@ def answer_query_on_shards(
     per_shard: list[list[tuple[int, int, bytes, list[bytes]]]] = []
     for shard in shards:
         matches = evaluate_query(query, shard)
-        ranked = handle_ranking(query, shard, matches)
-        # globalize doc ids for the cross-shard merge
-        per_shard.append(
-            [(doc + shard.base_doc_id, score, url, title) for doc, score, url, title in ranked]
-        )
-    return top_k_from_sorted_lists(per_shard)
+        per_shard.append(handle_ranking(query, shard, matches))
+    return merge_shard_topk(
+        per_shard, [shard.base_doc_id for shard in shards]
+    )

@@ -248,3 +248,93 @@ def test_reference_index_and_query_end_to_end(ref_stack, tmp_path_factory):
     # the comparison must be substantive, not vacuously tolerant
     assert fully_identical >= len(queries) // 2, fully_identical
     assert explained > 0  # the defect model is exercised, not dead code
+
+
+def test_reference_multi_worker_merge_end_to_end(ref_stack, tmp_path_factory):
+    """Two reference indexes (our shard split, local docids) answered by
+    QueryManager's multi-worker path must merge to our 2-shard
+    answer_query_on_shards output — gating the coordinator k-way merge and
+    per-worker scoring together. Compared as (score, url) sequences (the
+    reference returns worker-local docids); restricted to queries where no
+    cursor defect (see module docstring) touches either shard."""
+    from mithril_spark.fixtures import QUERY_SET, generate_pages
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.query.shard import evaluate_query
+    from mithril_spark.ranking import tokenify_query
+    from mithril_spark.text.docproc import process_page
+    from mithril_spark.text.normalize import STOPWORDS
+
+    builder, query_exe = ref_stack
+    work = str(tmp_path_factory.mktemp("e2e_multi"))
+    pages = generate_pages(150, seed=42)
+    docs = sorted(
+        (d for d in (process_page(p["url"].encode(), p["html"])
+                     for p in pages) if d is not None),
+        key=lambda d: d.url,
+    )
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages], num_shards=2
+    )
+    shard_size = oracle.shards[0].doc_count
+    # write one reference corpus per shard with LOCAL ids (the reference's
+    # workers are independent indexes with their own docid spaces)
+    index_dirs = []
+    for s, shard in enumerate(oracle.shards):
+        part = docs[s * shard_size:(s + 1) * shard_size]
+        crawl = f"{work}/crawl_{s}"
+        _write_reference_corpus(part, crawl)
+        out = f"{work}/index_{s}"
+        r = subprocess.run([builder, crawl, f"--output={out}", "--force",
+                            "--quiet"], capture_output=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-400:]
+        index_dirs.append(out)
+
+    def shard_clean(q, shard) -> bool:
+        tokens, _si, _ni = tokenify_query(q)
+        matches = [int(m) for m in evaluate_query(q, shard)]
+        for term, _m in tokens:
+            if term.encode() in STOPWORDS:
+                continue
+            entry = shard.positions.get(term)
+            if entry is not None and len(entry[0]):
+                if any(m > int(entry[0][-1]) for m in matches):
+                    return False
+            dentry = shard.positions.get("%" + term)
+            if dentry is not None and len(dentry[0]):
+                ddocs = [int(x) for x in dentry[0]]
+                for m in matches:
+                    k = bisect.bisect_left(ddocs, m)
+                    if k >= len(ddocs) or ddocs[k] != m:
+                        return False
+        return True
+
+    queries = list(QUERY_SET)
+    env = {**os.environ, "MITHRIL_CONF_DIR": f"{REF}/ranking/config"}
+    out_path = work + "/answers.txt"
+    r = subprocess.run(
+        [query_exe, out_path, *index_dirs],
+        input=("\n".join(queries) + "\n").encode(),
+        env=env, capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    lines = open(out_path).read().splitlines()
+    blocks, i = [], 0
+    while i < len(lines):
+        n = int(lines[i][2:])
+        blk = []
+        for j in range(n):
+            _d, sc, url = lines[i + 1 + j].split(" ", 2)
+            blk.append((int(sc), url))
+        blocks.append(blk)
+        i += n + 2
+    assert len(blocks) == len(queries)
+
+    compared = 0
+    for q, ref in zip(queries, blocks):
+        if not all(shard_clean(q, s) for s in oracle.shards):
+            continue
+        ours = [(int(s), u.decode("latin-1"))
+                for _d, s, u, _t in oracle.top_k(q)]
+        assert ours == ref, (q, ours[:3], ref[:3])
+        compared += 1
+    assert compared >= len(queries) // 3, compared
