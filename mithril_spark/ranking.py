@@ -331,8 +331,17 @@ def tokenify_query(query: str) -> tuple[list[tuple[str, int]], list[int], list[i
     """TokenifyQuery (Ranker.cpp:245-293).
 
     Keeps [a-zA-Z] lowercased and digits 1-9 (not 0); splits on spaces; drops
-    AND/OR/NOT and tokens strictly prefixed by title/url/anchor/desc;
+    AND/OR/NOT (dead check: the comparison runs on the already-lowercased
+    accumulator) and tokens strictly prefixed by title/url/anchor/desc;
     multiplicity is always 1. Returns (tokens, stopword_idx, nonstopword_idx).
+
+    Moved-from quirk: for the FINAL token (no trailing space) the reference
+    ``std::move``s the string into the token vector BEFORE the stopword
+    check (Ranker.cpp:276-291), so the check reads a moved-from (empty)
+    string — the last token of every query is ALWAYS classified
+    non-stopword. Found by the end-to-end differential (tests/test_cpp_e2e
+    .py); scores of stopword-final queries hinge on it (the 66% gate and
+    the feature scan both read these index lists).
     """
     def is_valid(token: str) -> bool:
         if not token:
@@ -367,10 +376,9 @@ def tokenify_query(query: str) -> tuple[list[tuple[str, int]], list[int], list[i
     if current and is_valid(current):
         tokens.append((current, 1))
         idx += 1
-        if current.encode() in STOPWORDS:
-            stopword_idx.append(idx)
-        else:
-            nonstopword_idx.append(idx)
+        # moved-from quirk (docstring): the reference checks the emptied
+        # string here, and "" is never a stopword
+        nonstopword_idx.append(idx)
     return tokens, stopword_idx, nonstopword_idx
 
 

@@ -132,6 +132,40 @@ def _write_reference_corpus(docs, crawl_dir: str) -> None:
             f.write(payload)
 
 
+def _extra_queries() -> list[str]:
+    """Deterministic operator-rich queries over the fixture vocab — drives
+    the reference's storage-backed TermQuote/TermPhrase/NotISR and Query.h
+    lowering beyond QUERY_SET's grammar coverage."""
+    import random
+
+    from mithril_spark.fixtures import STOP_SAMPLE, VOCAB
+
+    rng = random.Random(987)
+    pool = VOCAB + STOP_SAMPLE
+    out = []
+    for _ in range(40):
+        r = rng.random()
+        if r < 0.2:
+            out.append(f'"{rng.choice(pool)} {rng.choice(pool)}"')
+        elif r < 0.35:
+            out.append(f"'{rng.choice(pool)} {rng.choice(pool)}'")
+        elif r < 0.5:
+            out.append(f"{rng.choice(pool)} NOT {rng.choice(pool)}")
+        elif r < 0.65:
+            out.append(
+                f"({rng.choice(pool)} OR {rng.choice(pool)}) AND {rng.choice(pool)}"
+            )
+        elif r < 0.8:
+            out.append(
+                rng.choice(["title:", "url:", "anchor:", "desc:"])
+                + rng.choice(pool) + " " + rng.choice(pool)
+            )
+        else:
+            out.append(" ".join(rng.choice(pool)
+                                for _ in range(rng.randint(2, 4))))
+    return out
+
+
 @pytest.fixture(scope="module")
 def ref_stack(tmp_path_factory):
     builder = _compile(tmp_path_factory, "index_builder", INDEX_SOURCES,
@@ -171,7 +205,7 @@ def test_reference_index_and_query_end_to_end(ref_stack, tmp_path_factory):
     shard = oracle.shards[0]
     assert shard.doc_count == len(docs)
 
-    queries = list(QUERY_SET)
+    queries = list(QUERY_SET) + _extra_queries()
     env = {**os.environ, "MITHRIL_CONF_DIR": f"{REF}/ranking/config"}
     out_path = work + "/answers.txt"
     r = subprocess.run(
