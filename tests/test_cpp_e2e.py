@@ -171,7 +171,13 @@ def ref_stack(tmp_path_factory):
     builder = _compile(tmp_path_factory, "index_builder", INDEX_SOURCES,
                        INCLUDES)
     query = _compile(tmp_path_factory, "e2e_query", QUERY_SOURCES, INCLUDES)
-    return builder, query
+    termdict = _compile(
+        tmp_path_factory, "termdict_driver",
+        ["tests/cpp_ref/termdict_driver.cpp",
+         f"{REF}/index/src/TermDictionary.cpp"],
+        INCLUDES,
+    )
+    return builder, query, termdict
 
 
 def test_reference_index_and_query_end_to_end(ref_stack, tmp_path_factory):
@@ -182,7 +188,7 @@ def test_reference_index_and_query_end_to_end(ref_stack, tmp_path_factory):
     from mithril_spark.text.docproc import process_page
     from mithril_spark.text.normalize import STOPWORDS
 
-    builder, query_exe = ref_stack
+    builder, query_exe, termdict_exe = ref_stack
     work = str(tmp_path_factory.mktemp("e2e"))
     pages = generate_pages(150, seed=42)
     docs = sorted(
@@ -204,6 +210,28 @@ def test_reference_index_and_query_end_to_end(ref_stack, tmp_path_factory):
     )
     shard = oracle.shards[0]
     assert shard.doc_count == len(docs)
+
+    # FULL dictionary equality: the reference's term dictionary and ours
+    # are the same mapping — equal size, and every one of our terms is
+    # present with an equal df (injection + equal cardinality = identity).
+    # This gates tokenization/decoration/df-counting across the WHOLE
+    # index, not just queried terms.
+    our_terms = sorted(shard.postings)
+    td_in = b"".join(
+        b"%d\n%s\n" % (len(t.encode("latin-1")), t.encode("latin-1"))
+        for t in our_terms
+    )
+    td_out = work + "/termdict.txt"
+    r = subprocess.run([termdict_exe, td_out, work + "/index"],
+                       input=td_in, capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-300:]
+    td_lines = open(td_out).read().splitlines()
+    assert td_lines[0] == f"SIZE {len(our_terms)}", (
+        td_lines[0], len(our_terms))
+    assert len(td_lines) == len(our_terms) + 1
+    for t, line in zip(our_terms, td_lines[1:]):
+        assert int(line) == len(shard.postings[t][0]), (
+            t, line, len(shard.postings[t][0]))
 
     queries = list(QUERY_SET) + _extra_queries()
     env = {**os.environ, "MITHRIL_CONF_DIR": f"{REF}/ranking/config"}
@@ -298,7 +326,7 @@ def test_reference_multi_worker_merge_end_to_end(ref_stack, tmp_path_factory):
     from mithril_spark.text.docproc import process_page
     from mithril_spark.text.normalize import STOPWORDS
 
-    builder, query_exe = ref_stack
+    builder, query_exe, _termdict = ref_stack
     work = str(tmp_path_factory.mktemp("e2e_multi"))
     pages = generate_pages(150, seed=42)
     docs = sorted(
