@@ -1387,12 +1387,28 @@ def q_media_features(spark, sf):
     """Multimodal decode + feature extraction over the deterministic
     synthetic media table (real P6/WAV/Y4M decoders, Arrow-batched).
     Python decoders have no SQL twin — rows-only check; pixel/sample-exact
-    determinism is gated in tests/test_pipeline_ops.py."""
+    determinism is gated in tests/test_pipeline_ops.py.
+
+    The library API (`extract_media_features`) keeps the feature as
+    ``array<float>``; the driver's canonicalizer cannot hash list cells,
+    so this registered entry projects it to scalar columns: the dimension
+    plus an md5 fingerprint of the vector quantized to 6 decimals."""
     from .pipeline_ops import extract_media_features, synthetic_media_df
 
-    return extract_media_features(synthetic_media_df(spark, 60)).orderBy(
-        "media_id"
-    )
+    feats = extract_media_features(synthetic_media_df(spark, 60))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        "decode_ok",
+        F.size("feature").alias("feature_dim"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+            )
+        ).alias("feature_q"),
+    ).orderBy("media_id")
 
 
 def q_media_frames(spark, sf):

@@ -31,6 +31,10 @@ def sf_duck(request):
 
 def _canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    # The driver's canonicalizer sorts the RAW frame first — unhashable
+    # cells (list/array columns) crash it there (round-3 q_media_features
+    # failure). Mirror that so the gate catches non-canonicalizable output.
+    df.sort_values(list(df.columns))
     for c in df.columns:
         df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
