@@ -9,6 +9,16 @@ Env:
   SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] parallelism (default 32)
   BENCH_PAGES         synthetic pages for the index-build step (default 20000)
+  BENCH_REPS          interleaved repetitions per step (default 3)
+
+Contention protocol (VERDICT r03 #2): this box is shared-tenant with
+documented ~2x throughput swings over minutes, so a single cold pass is
+unreadable round-over-round. Every timed step therefore runs BENCH_REPS
+times in *interleaved rounds* (the whole suite repeats, so each step's
+samples are spread across the bench window, the same temporal-pairing
+idea as scripts/scaling.py). The headline `queries` timings are the
+per-step MIN across rounds — the contention-free estimate — and the raw
+per-round samples ship in `queries_runs` so the spread is visible.
 
 The index-build step is the BASELINE.md headline (reference: ~2,500 docs/s
 on a single all-core VM, CHANGELOG.md:122); run scripts/scaling.py for the
@@ -28,20 +38,32 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    n_reps = int(os.environ.get("BENCH_REPS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    from pyspark.sql import functions as F
+
     from mithril_spark.engine import SearchEngine
     from mithril_spark.fixtures import generate_pages, pages_to_df
     from mithril_spark.indexer import build_index
+    from mithril_spark.pagerank import spark_pagerank
+    from mithril_spark.query.isr import ShardIndex
+    from mithril_spark.query.shard import evaluate_query, evaluate_query_scalar
     from mithril_spark.relational import QUERIES
+
     from mithril_spark.session import get_spark
 
     spark = get_spark(cores=cpus, app_name="mithril-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
-    extras: dict = {"cpus": cpus, "bench_pages": n_pages}
+    extras: dict = {"cpus": cpus, "bench_pages": n_pages, "bench_reps": n_reps}
+
+    # Each step is (name, prepare, run): `prepare` is untimed setup
+    # (cache-warm, rmtree); `run` is the timed body. Steps must be
+    # idempotent — the whole list executes once per round.
+    steps: list[tuple] = []
 
     headline = [
         "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
@@ -49,91 +71,126 @@ def main() -> None:
         "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_embedding",
         "q_ann_cosine_topk",
     ]
-    # warm the JVM/readers once so query timings measure the plan, not startup
-    QUERIES["q6_forecast_revenue"][0](spark, sf_dir).collect()
+
+    def make_query_step(name):
+        fn = QUERIES[name][0]
+
+        def run():
+            rows = fn(spark, sf_dir).collect()
+            extras[f"{name}_rows"] = len(rows)
+
+        return (name, None, run)
 
     for name in headline:
-        fn = QUERIES[name][0]
-        t0 = time.time()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        extras[f"{name}_rows"] = len(rows)
+        steps.append(make_query_step(name))
 
     # --- index build throughput (the BASELINE.md headline metric) ---
     pages = generate_pages(n_pages, seed=42)
     html_bytes = sum(len(p["html"]) for p in pages)
     pages_df = pages_to_df(spark, pages).repartition(cpus * 2).cache()
-    pages_df.count()  # materialize input before the clock starts
+    pages_df.count()  # materialize input before any clock starts
     index_dir = "/tmp/mithril_bench_index"
-    shutil.rmtree(index_dir, ignore_errors=True)
-    t0 = time.time()
-    build_index(pages_df, index_dir, num_shards=4, force=True)
-    build_s = time.time() - t0
-    timings["index_build"] = round(build_s, 3)
-    extras["index_docs_per_sec"] = round(n_pages / build_s, 1)
-    extras["index_mb_per_sec"] = round(html_bytes / 1e6 / build_s, 2)
+
+    def build_prepare():
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    def build_run():
+        build_index(pages_df, index_dir, num_shards=4, force=True)
+
+    steps.append(("index_build", build_prepare, build_run))
 
     # --- PageRank over the built index's link graph ---
-    from pyspark.sql import functions as F
+    def pagerank_run():
+        stage = spark.read.parquet(index_dir + "/stage_raw")
+        link_edges = stage.select(F.col("url").alias("src"),
+                                  F.explode("links").alias("dst"))
+        graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
+            link_edges.select(F.col("dst").alias("node")))
+        extras["pagerank_nodes"] = spark_pagerank(link_edges, graph_nodes).count()
 
-    from mithril_spark.pagerank import spark_pagerank
-
-    stage = spark.read.parquet(index_dir + "/stage_raw")
-    link_edges = stage.select(F.col("url").alias("src"),
-                              F.explode("links").alias("dst"))
-    graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
-        link_edges.select(F.col("dst").alias("node")))
-    t0 = time.time()
-    pr_rows = spark_pagerank(link_edges, graph_nodes).count()
-    timings["pagerank"] = round(time.time() - t0, 3)
-    extras["pagerank_nodes"] = pr_rows
+    steps.append(("pagerank", None, pagerank_run))
 
     # --- query latency + throughput over the built index ---
-    engine = SearchEngine(spark, index_dir)
     search_queries = ["search engine", "title:engine", "spark shuffle partition",
                       "granite OR marble", "NOT quartz"]
-    engine.top_k(search_queries[0])  # warm doc_map cache
-    t0 = time.time()
-    for q in search_queries:
-        engine.top_k(q)
-    timings["search_topk"] = round(time.time() - t0, 3)
-    extras["search_latency_s"] = round(timings["search_topk"] / len(search_queries), 3)
+    engine_box: dict = {}
+
+    def search_prepare():
+        # fresh engine per round (the index was rebuilt); warm doc_map cache
+        engine_box["e"] = SearchEngine(spark, index_dir)
+        engine_box["e"].top_k(search_queries[0])
+
+    def search_run():
+        for q in search_queries:
+            engine_box["e"].top_k(q)
+
+    steps.append(("search_topk", search_prepare, search_run))
+
     # throughput: the batched serving path (top_k_many multiplexes queries
     # over the resident shard images, as the reference coordinator does
     # with concurrent queries) — results identical to sequential top_k
-    engine.top_k_many(search_queries)  # warm
-    reps = 4
-    t0 = time.time()
-    for _ in range(reps):
-        engine.top_k_many(search_queries)
-    batch_s = time.time() - t0
-    timings["search_batch"] = round(batch_s, 3)
-    extras["search_qps"] = round(reps * len(search_queries) / batch_s, 2)
+    BATCH_REPS = 4
+
+    def batch_prepare():
+        engine_box["e"].top_k_many(search_queries)  # warm
+
+    def batch_run():
+        for _ in range(BATCH_REPS):
+            engine_box["e"].top_k_many(search_queries)
+
+    steps.append(("search_batch", batch_prepare, batch_run))
 
     # --- block-max WAND: pure-BM25 top-k with pruning counters ---
     # (VERDICT r02 #9: blocks-skipped evidence. The flagship top_k ranker
     # cannot skip blocks — its uint32 score wrap makes any upper bound
     # unsound — so the skipping lives on the BM25 disjunctive path.)
-    engine.bm25_topk("search engine", k=10)  # warm
-    t0 = time.time()
-    # rare + common mix: the shape WAND prunes (the rare term's high idf
-    # dominates, so dense-term blocks between rare postings are skipped)
-    _wand_res, wstats = engine.bm25_topk(
-        "thermite neurotron search engine index", k=10, return_stats=True
-    )
-    timings["bm25_wand"] = round(time.time() - t0, 3)
-    extras["wand_blocks_total"] = wstats.get("blocks_total", 0)
-    extras["wand_blocks_skipped"] = wstats.get("blocks_skipped", 0)
-    extras["wand_docs_scored"] = wstats.get("docs_scored", 0)
+    def wand_prepare():
+        engine_box["e"].bm25_topk("search engine", k=10)  # warm
+
+    def wand_run():
+        # rare + common mix: the shape WAND prunes (the rare term's high
+        # idf dominates, so dense-term blocks between rare postings skip)
+        _res, wstats = engine_box["e"].bm25_topk(
+            "thermite neurotron search engine index", k=10, return_stats=True
+        )
+        extras["wand_blocks_total"] = wstats.get("blocks_total", 0)
+        extras["wand_blocks_skipped"] = wstats.get("blocks_skipped", 0)
+        extras["wand_docs_scored"] = wstats.get("docs_scored", 0)
+
+    steps.append(("bm25_wand", wand_prepare, wand_run))
+
+    # --- zipfian-corpus WAND: skew where block skipping is visible e2e ---
+    # (VERDICT r03 #6. The flat fixture corpus has no df spread — rare-term
+    # posting gaps stay below the 128-doc block size, so nothing skips.)
+    from mithril_spark.fixtures import generate_zipf_pages, zipf_term
+
+    # rare (df ~n/800, posting gaps ~800 docs >> the 128-posting block) +
+    # mid (df n/3, 42 blocks): once the heap holds k rare-term docs the
+    # pivot rides the rare postings and the mid cursor skips undecoded
+    zipf_query = f"{zipf_term(799)} {zipf_term(2)}"
+
+    def wand_zipf_prepare():
+        if "zipf_engine" not in engine_box:
+            zdir = "/tmp/mithril_bench_index_zipf"
+            shutil.rmtree(zdir, ignore_errors=True)
+            zdf = pages_to_df(spark, generate_zipf_pages(16000, seed=7))
+            build_index(zdf, zdir, num_shards=2, force=True)
+            engine_box["zipf_engine"] = SearchEngine(spark, zdir)
+        engine_box["zipf_engine"].bm25_topk(zipf_query, k=5)  # warm
+
+    def wand_zipf_run():
+        _res, zstats = engine_box["zipf_engine"].bm25_topk(
+            zipf_query, k=5, return_stats=True
+        )
+        extras["wand_zipf_blocks_total"] = zstats.get("blocks_total", 0)
+        extras["wand_zipf_blocks_skipped"] = zstats.get("blocks_skipped", 0)
+        extras["wand_zipf_docs_scored"] = zstats.get("docs_scored", 0)
+
+    steps.append(("bm25_wand_zipf", wand_zipf_prepare, wand_zipf_run))
 
     # --- match enumeration: vectorized set-algebra walk vs scalar ISR ---
     # (VERDICT r02 #1 deliverable: a >=100k-match query, speedup reported.)
     # Deterministic synthetic shard; modular posting patterns, no RNG.
-    import numpy as np
-
-    from mithril_spark.query.isr import ShardIndex
-    from mithril_spark.query.shard import evaluate_query, evaluate_query_scalar
-
     n_docs = 500_000
     all_d = np.arange(n_docs, dtype=np.int64)
     shard = ShardIndex(doc_count=n_docs, base_doc_id=0)
@@ -146,17 +203,53 @@ def main() -> None:
         shard.postings[term] = (docs, np.ones(len(docs), dtype=np.int64))
     enum_queries = ["alpha beta", "alpha OR beta", "NOT gamma",
                     "alpha AND (beta OR gamma)"]
-    t0 = time.time()
-    n_matches = sum(len(evaluate_query(q, shard)) for q in enum_queries)
-    vec_s = time.time() - t0
+
+    def enum_run():
+        n_matches = sum(len(evaluate_query(q, shard)) for q in enum_queries)
+        extras["match_enum_matches"] = int(n_matches)
+
+    steps.append(("match_enum_vec", None, enum_run))
+
+    # ---- interleaved rounds: min-of-N per step ----
+    runs: list[dict[str, float]] = []
+    # warm the JVM/readers once so round-1 timings measure the plan, not startup
+    QUERIES["q6_forecast_revenue"][0](spark, sf_dir).collect()
+    for _rep in range(n_reps):
+        round_t: dict[str, float] = {}
+        for name, prepare, run in steps:
+            if prepare is not None:
+                prepare()
+            t0 = time.time()
+            run()
+            round_t[name] = round(time.time() - t0, 3)
+        runs.append(round_t)
+
+    timings = {name: min(r[name] for r in runs) for name, _, _ in steps}
+
+    # scalar match-enum twin: once, outside the rounds (it only feeds the
+    # speedup extra — the headline timing is the vectorized walk)
     t0 = time.time()
     n_scalar = sum(len(evaluate_query_scalar(q, shard)) for q in enum_queries)
     scalar_s = time.time() - t0
-    assert n_matches == n_scalar, (n_matches, n_scalar)
-    timings["match_enum_vec"] = round(vec_s, 3)
-    extras["match_enum_matches"] = int(n_matches)
+    assert extras["match_enum_matches"] == n_scalar
     extras["match_enum_scalar_s"] = round(scalar_s, 3)
+    vec_s = timings["match_enum_vec"]
     extras["match_enum_speedup"] = round(scalar_s / vec_s, 1) if vec_s > 0 else None
+
+    build_s = timings["index_build"]
+    extras["index_docs_per_sec"] = round(n_pages / build_s, 1)
+    extras["index_mb_per_sec"] = round(html_bytes / 1e6 / build_s, 2)
+    extras["search_latency_s"] = round(
+        timings["search_topk"] / len(search_queries), 3)
+    extras["search_qps"] = round(
+        BATCH_REPS * len(search_queries) / timings["search_batch"], 2)
+    # contention visibility: raw per-round samples + total spread
+    extras["queries_runs"] = runs
+    round_totals = [round(sum(r.values()), 3) for r in runs]
+    extras["round_totals"] = round_totals
+    extras["contention_spread"] = (
+        round(max(round_totals) / min(round_totals), 2) if round_totals else None
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

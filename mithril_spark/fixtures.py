@@ -247,6 +247,65 @@ def generate_pages_df(spark, n: int, seed: int = 42, scale: int = 1,
     )
 
 
+def _b26(r: int) -> str:
+    s = ""
+    for _ in range(3):
+        s += chr(ord("a") + r % 26)
+        r //= 26
+    return s
+
+
+def zipf_term(r: int) -> str:
+    """Name of zipf rank-r term (alpha-only so tokenization is trivial)."""
+    return "zq" + _b26(r)
+
+
+def generate_zipf_pages(n: int, seed: int = 7, n_terms: int = 2000) -> list[dict]:
+    """Zipfian-df corpus: block-max WAND skip evidence needs df spread.
+
+    Term ``zipf_term(r)`` (r in 0..n_terms) appears in exactly the docs
+    ``i % (r+1) == off(r)`` (off is a deterministic per-term offset so doc 0
+    isn't a universal attractor), giving df(r) = ~n/(r+1) — three decades of
+    document frequency, the spread the flat `generate_pages` vocabulary
+    lacks (its tail words all sit near df ~n/25, so rare-term posting gaps
+    stay under the 128-doc block size and nothing ever skips).
+
+    URLs are zero-padded in generation order, so url-rank docids == i and
+    the modular posting gaps survive docid assignment; contiguous-range
+    sharding (indexer `doc_id // shard_size`) preserves them per shard.
+    """
+    t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    term_ranks: list[list[int]] = [[] for _ in range(n)]
+    for r in range(n_terms):
+        step = r + 1
+        off = (r * 2654435761) % step
+        for i in range(off, n, step):
+            term_ranks[i].append(r)
+    pages = []
+    for i in range(n):
+        rng = random.Random((seed << 32) ^ i)
+        body: list[str] = []
+        for j, r in enumerate(term_ranks[i]):
+            body.append(zipf_term(r))
+            if (i + j) % 3 == 0:  # tf variation (deterministic)
+                body.append(zipf_term(r))
+        body += [rng.choice(VOCAB) for _ in range(rng.randint(20, 80))]
+        rng.shuffle(body)
+        title = f"zipf {rng.choice(VOCAB)} {rng.choice(VOCAB)}"
+        html = (
+            f'<!DOCTYPE html><html lang="en"><head><title>{title}</title>'
+            f'</head><body><p>{" ".join(body)}</p></body></html>'
+        )
+        pages.append({
+            "url": f"https://zipf.example.org/p{i:06d}",
+            "warc_ts": t0 + timedelta(seconds=i),
+            "html": html.encode("utf-8"),
+            "text": None,
+            "lang": "en",
+        })
+    return pages
+
+
 # The fixture query set (FIXTURES.md §3): covers every grammar production.
 QUERY_SET = [
     "hello",

@@ -70,6 +70,51 @@ def test_wand_skips_blocks():
     assert 0 < stats["docs_scored"] < n
 
 
+def test_engine_wand_skips_on_zipf_corpus(spark, tmp_path_factory):
+    """End-to-end block skipping on a zipfian-df corpus (VERDICT r03 #6).
+
+    The flat fixture corpus never skips — every term's posting gaps sit
+    below the 128-posting block size. `generate_zipf_pages` plants a df
+    spread of three decades; a rare(+high-idf) × mid(many-blocks) query
+    must then skip a material share of blocks AND stay exactly equal to
+    exhaustive oracle scoring.
+    """
+    from mithril_spark.engine import SearchEngine
+    from mithril_spark.fixtures import generate_zipf_pages, pages_to_df, zipf_term
+    from mithril_spark.indexer import build_index
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.ranking import bm25_score
+
+    pages = generate_zipf_pages(8000, seed=7)
+    idx_dir = str(tmp_path_factory.mktemp("zipfidx") / "i")
+    build_index(pages_to_df(spark, pages), idx_dir, num_shards=1)
+    engine = SearchEngine(spark, idx_dir)
+    oracle = OracleIndex.build(
+        [(r["url"].encode(), r["html"]) for r in pages], num_shards=1
+    )
+
+    query = f"{zipf_term(799)} {zipf_term(2)}"  # rare gap-800 + mid df n/3
+    got, wstats = engine.bm25_topk(query, k=3, return_stats=True)
+
+    shard = oracle.shards[0]
+    scores: dict[int, float] = {}
+    for term in sorted(t for t in query.split()):
+        entry = shard.postings.get(term)
+        if not entry:
+            continue
+        docs, freqs = entry
+        df = len(docs)
+        for d, f in zip(docs, freqs):
+            scores[d] = scores.get(d, 0.0) + bm25_score(
+                shard.doc_count, shard.avg_body_length,
+                shard.doc_map[d].body_len, df, f,
+            )
+    want = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert got == want
+    skipped = wstats["blocks_skipped"] / wstats["blocks_total"]
+    assert skipped >= 0.15, wstats
+
+
 def test_engine_bm25_topk(spark, tmp_path_factory):
     """Engine WAND == per-shard exhaustive BM25 computed from the oracle."""
     from mithril_spark.engine import SearchEngine
