@@ -210,6 +210,30 @@ def main() -> None:
 
     steps.append(("match_enum_vec", None, enum_run))
 
+    # --- quote enumeration: vectorized positional check vs scalar cursor ---
+    # (VERDICT r03 #3 deliverable: >=10x on a quoted query with a 100k+
+    # candidate AND-set.) alpha∩beta = 133k docs; adjacency planted in the
+    # even ones (~66k matches). The extra beta posting past alpha's last doc
+    # makes the exhaustion pump end cleanly (the abort-to-empty quirk would
+    # otherwise empty BOTH paths and benchmark nothing).
+    inter = all_d[(all_d % 5 != 0) & (all_d % 3 == 0)]
+    base_p = (inter % 7).astype(np.int64)
+    alpha_plists = np.stack([base_p, base_p + 2], axis=1).tolist()
+    beta_off = np.where(inter % 2 == 0, base_p + 1, base_p + 5)
+    beta_plists = beta_off[:, None].tolist()
+    shard.positions["alpha"] = (inter.tolist(), [0] * len(inter), alpha_plists)
+    shard.positions["beta"] = (inter.tolist(), [0] * len(inter), beta_plists)
+    bdocs, bfreqs = shard.postings["beta"]
+    shard.postings["beta"] = (
+        np.append(bdocs, n_docs + 1), np.append(bfreqs, 1)
+    )
+    quote_q = '"alpha beta"'
+
+    def quote_enum_run():
+        extras["quote_enum_matches"] = int(len(evaluate_query(quote_q, shard)))
+
+    steps.append(("quote_enum_vec", None, quote_enum_run))
+
     # ---- interleaved rounds: min-of-N per step ----
     runs: list[dict[str, float]] = []
     # warm the JVM/readers once so round-1 timings measure the plan, not startup
@@ -226,8 +250,8 @@ def main() -> None:
 
     timings = {name: min(r[name] for r in runs) for name, _, _ in steps}
 
-    # scalar match-enum twin: once, outside the rounds (it only feeds the
-    # speedup extra — the headline timing is the vectorized walk)
+    # scalar match-enum twins: once, outside the rounds (they only feed the
+    # speedup extras — the headline timings are the vectorized walks)
     t0 = time.time()
     n_scalar = sum(len(evaluate_query_scalar(q, shard)) for q in enum_queries)
     scalar_s = time.time() - t0
@@ -235,6 +259,16 @@ def main() -> None:
     extras["match_enum_scalar_s"] = round(scalar_s, 3)
     vec_s = timings["match_enum_vec"]
     extras["match_enum_speedup"] = round(scalar_s / vec_s, 1) if vec_s > 0 else None
+
+    t0 = time.time()
+    n_quote_scalar = len(evaluate_query_scalar(quote_q, shard))
+    qscalar_s = time.time() - t0
+    assert extras["quote_enum_matches"] == n_quote_scalar
+    extras["quote_enum_scalar_s"] = round(qscalar_s, 3)
+    qvec_s = timings["quote_enum_vec"]
+    extras["quote_enum_speedup"] = (
+        round(qscalar_s / qvec_s, 1) if qvec_s > 0 else None
+    )
 
     build_s = timings["index_build"]
     extras["index_docs_per_sec"] = round(n_pages / build_s, 1)

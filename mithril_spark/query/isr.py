@@ -162,6 +162,10 @@ class ShardIndex:
     # per-term sorted int64 docid arrays for the vectorized match walk
     # (lazy views of `postings`; query/vecisr.py)
     _np_docs: dict = field(default_factory=dict, repr=False)
+    # per-term flattened position arrays for the vectorized quote/phrase
+    # check: term -> (docs_np, starts, flat) where doc i's positions are
+    # flat[starts[i]:starts[i+1]] (lazy views of `positions`; vecisr.py)
+    _np_pos: dict = field(default_factory=dict, repr=False)
 
     @property
     def avg_body_length(self) -> float:
@@ -187,6 +191,37 @@ class ShardIndex:
             )
             self._np_docs[term] = arr
         return arr
+
+    def positions_np(self, term: str):
+        """This term's positions flattened: (docs_np, starts, flat), cached.
+
+        ``flat[starts[i]:starts[i+1]]`` are doc ``docs_np[i]``'s positions,
+        ascending — the layout the vectorized quote/phrase check gathers
+        segment slices from (query/vecisr.py)."""
+        entry = self._np_pos.get(term)
+        if entry is None:
+            import itertools
+
+            p = self.positions.get(term)
+            if p is None:
+                z = np.empty(0, dtype=np.int64)
+                entry = (z, np.zeros(1, dtype=np.int64), z)
+            else:
+                docs, _flags, plists = p
+                docs_np = np.asarray(docs, dtype=np.int64)
+                lens = np.fromiter(
+                    (len(x) for x in plists), np.int64, len(plists)
+                )
+                starts = np.concatenate(
+                    (np.zeros(1, dtype=np.int64), np.cumsum(lens))
+                )
+                flat = np.fromiter(
+                    itertools.chain.from_iterable(plists),
+                    np.int64, int(starts[-1]),
+                )
+                entry = (docs_np, starts, flat)
+            self._np_pos[term] = entry
+        return entry
 
     def get_meta(self, local_id: int) -> DocMeta | None:
         """Doc metadata by local id — columnar image when present."""

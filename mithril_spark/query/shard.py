@@ -120,30 +120,37 @@ def evaluate_query(query: str, shard: ShardIndex):
     """QueryEngine::EvaluateQuery — ascending docids; any error -> [].
 
     Engine default: trees whose cursor walk provably equals set algebra
-    (vecisr.vec_eligible — no quote/phrase nodes, no NotISR reachable by a
-    backward seek) are evaluated with whole-array numpy set operations
-    (query/vecisr.py — the zipper/galloping kernels of the reference's
-    query/src/intersect.cpp). Everything else keeps the literal scalar walk
-    with all its positional/stateful quirks. Returns a sorted int64 array
-    on the vectorized path, a list on the scalar path."""
-    from .vecisr import match_docs, vec_eligible
+    (vecisr.vec_eligible — no NotISR reachable by a backward seek, no
+    quote/phrase node in a seekable position) are evaluated with
+    whole-array numpy set operations (query/vecisr.py — the
+    zipper/galloping kernels of the reference's query/src/intersect.cpp;
+    quote/phrase adjacency is batched over flattened position arrays with
+    the abort/one-behind quirks replayed). Everything else keeps the
+    literal scalar walk with all its positional/stateful quirks. Returns a
+    sorted int64 array on the vectorized path, a list on the scalar path."""
+    from .vecisr import VecFallback, match_docs, vec_eligible
 
     try:
         tree = g.parse_query(query)
     except g.ParseException:
         return []
-    if not vec_eligible(tree):
+    if vec_eligible(tree):
         try:
-            isr = generate_isr(tree, shard)
-            results: list[int] = []
-            while isr.has_next():
-                results.append(isr.current_doc_id())
-                isr.move_next()
-            return results
+            arr = match_docs(tree, shard, _FIELD_OF_TOKEN)
+            return [] if arr is None else arr
         except IsrError:
             return []
-    arr = match_docs(tree, shard, _FIELD_OF_TOKEN)
-    return [] if arr is None else arr
+        except VecFallback:
+            pass  # phantom-match corner: the scalar walk is the spec
+    try:
+        isr = generate_isr(tree, shard)
+        results: list[int] = []
+        while isr.has_next():
+            results.append(isr.current_doc_id())
+            isr.move_next()
+        return results
+    except IsrError:
+        return []
 
 
 def top_k_elements_fast(

@@ -52,15 +52,22 @@ def _random_query(rng: random.Random, depth: int = 0) -> str:
     """Random query expression over the fixture vocab (grammar-shaped)."""
     pool = VOCAB + STOP_SAMPLE + ["zzzmissing", "qqq"]
     r = rng.random()
-    if depth >= 3 or r < 0.35:
+    if depth >= 3 or r < 0.3:
         term = rng.choice(pool)
         f = rng.random()
         if f < 0.15:
             return rng.choice(["title:", "url:", "anchor:", "desc:"]) + term
         return term
-    if r < 0.55:
+    if r < 0.42:
+        # quote/phrase at any nesting spot: exercises BOTH the vectorized
+        # positional path (root / under never-seeked ORs) and the scalar
+        # fall-through (under AND/NOT, where their destructive seek rules
+        # set algebra out)
+        words = " ".join(rng.choice(pool) for _ in range(rng.randint(1, 3)))
+        return rng.choice([f'"{words}"', f"'{words}'"])
+    if r < 0.58:
         return f"({_random_query(rng, depth + 1)} AND {_random_query(rng, depth + 1)})"
-    if r < 0.75:
+    if r < 0.76:
         return f"({_random_query(rng, depth + 1)} OR {_random_query(rng, depth + 1)})"
     if r < 0.9:
         return f"(NOT {_random_query(rng, depth + 1)})"
@@ -78,15 +85,64 @@ def test_vec_equals_scalar_on_random_trees(oracle):
             ), (i, q)
 
 
-def test_quote_phrase_trees_take_scalar_path(oracle):
-    """Trees with positional nodes must produce the scalar walk's output
-    (incl. its abort-to-empty quirks) — by construction, but gate it."""
-    for q in ['"alpha beta"', "'alpha beta'", 'gamma AND "alpha beta"',
-              'NOT "alpha beta"', '"zzz qqq" OR alpha']:
+def test_quote_phrase_trees_match_scalar(oracle):
+    """Positional trees == scalar walk in BOTH gate outcomes: vectorized
+    (root / under a never-seeked OR) and scalar fall-through (under AND or
+    NOT, where quote/phrase destructive seeks rule set algebra out)."""
+    from mithril_spark.query import grammar as g
+    from mithril_spark.query.vecisr import vec_eligible
+
+    vec_qs = ['"search engine"', "'open spark'", '"search engine" OR granite',
+              '"search engine" OR "open source"', '"engine search"']
+    scalar_qs = ['gamma AND "alpha beta"', 'NOT "search engine"',
+                 'granite "search engine"']
+    for q in vec_qs:
+        assert vec_eligible(g.parse_query(q)), q
+    for q in scalar_qs:
+        assert not vec_eligible(g.parse_query(q)), q
+    for q in vec_qs + scalar_qs:
         for shard in oracle.shards:
             assert _as_list(evaluate_query(q, shard)) == _as_list(
                 evaluate_query_scalar(q, shard)
             ), q
+
+
+def test_quote_phrase_random_synthetic_shards():
+    """Vectorized quote/phrase == scalar cursor machine on adversarial
+    synthetic shards: random posting lists, positions stored for only a
+    subset of posting docs (shouldStorePositions reality), list tails
+    aligned or not — driving every quirk branch: first-candidate skip,
+    one-behind drop-last, single-match-to-empty, and the exhaustion-pump
+    IsrError abort (scalar raises -> query []; the vectorized tail replay
+    must agree shard-for-shard)."""
+    rng = random.Random(20260817)
+    terms = ["qa", "qb", "qc", "qd"]
+    for trial in range(400):
+        n_docs = rng.randint(3, 60)
+        shard = ShardIndex(doc_count=n_docs, base_doc_id=0)
+        for t in terms:
+            if rng.random() < 0.15:
+                continue  # absent term
+            docs = sorted(rng.sample(range(n_docs),
+                                     rng.randint(1, max(1, n_docs - 1))))
+            shard.postings[t] = (docs, [1] * len(docs))
+            pos_docs, plists = [], []
+            for d in docs:
+                if rng.random() < 0.8:
+                    pos_docs.append(d)
+                    k = rng.randint(1, 6)
+                    plists.append(sorted(rng.sample(range(12), k)))
+            if pos_docs:
+                shard.positions[t] = (pos_docs, [0] * len(pos_docs), plists)
+        for _ in range(6):
+            words = " ".join(
+                rng.choice(terms) for _ in range(rng.randint(1, 3))
+            )
+            q = rng.choice([f'"{words}"', f"'{words}'",
+                            f'"{words}" OR qa', f"'{words}' OR (qb OR qc)"])
+            got = _as_list(evaluate_query(q, shard))
+            want = _as_list(evaluate_query_scalar(q, shard))
+            assert got == want, (trial, q, got, want)
 
 
 def test_kernels_against_python_sets():
