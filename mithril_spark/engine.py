@@ -536,6 +536,79 @@ class SearchEngine:
                 agg[key] = agg.get(key, 0) + int(v)
         return merged[:k], agg
 
+    def bm25_topk_with_snippets(
+        self, query: str, k: int = 10
+    ) -> list[tuple[int, float, bytes, list[bytes], str]]:
+        """``bm25_topk`` rounded out to the serving tuple shape: (doc_id,
+        score, url, title_words, snippet) — feature parity with
+        ``top_k_with_snippets`` for the WAND path (VERDICT r03 #8).
+
+        Hit urls/titles resolve with one pruned scan of the ``doc_map``
+        table (doc_id IN pushes to parquet); document text comes from the
+        same url-sorted ``doc_text`` sidecar fetch. WAND carries no
+        positions, so snippet extraction enters generateSnippet's
+        preference order at the substring stage (Snippets.h:183-217 —
+        the reference's positions path is equally dormant without stored
+        offsets), with the document-head fallback after it."""
+        from pyspark.sql import functions as F
+
+        from .snippets import combined_text, generate_snippet
+        from .text.normalize import BODY, normalize
+
+        results = self.bm25_topk(query, k)
+        if not results:
+            return []
+        ids = [d for d, _s in results]
+        dm = (
+            self.spark.read.parquet(os.path.join(self.index_dir, "doc_map"))
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "url", "title")
+            .collect()
+        )
+        meta_by_id = {int(r["doc_id"]): r for r in dm}
+        sidecar = os.path.join(self.index_dir, "doc_text")
+        if os.path.exists(os.path.join(sidecar, "_SUCCESS")):
+            stage = self.spark.read.parquet(sidecar)
+        else:
+            stage = self.spark.read.parquet(
+                os.path.join(self.index_dir, "stage_raw")
+            )
+        has_desc = "desc" in stage.columns
+        cols = ["url", "title", "text"] + (["desc"] if has_desc else [])
+        urls = [bytes(meta_by_id[d]["url"]) for d in ids if d in meta_by_id]
+        by_url = {
+            bytes(r["url"]): r
+            for r in stage.filter(F.col("url").isin(urls)).select(*cols).collect()
+        }
+        qterms = [
+            t for t in (
+                normalize(tok.encode("utf-8"), BODY).decode("latin-1")
+                for tok in query.split()
+            ) if t
+        ]
+        out = []
+        for doc_id, score in results:
+            meta = meta_by_id.get(doc_id)
+            if meta is None:
+                out.append((doc_id, score, b"", [], "No preview available"))
+                continue
+            url = bytes(meta["url"])
+            title = [bytes(t) for t in (meta["title"] or [])]
+            row = by_url.get(url)
+            if row is None:
+                out.append((doc_id, score, url, title, "No preview available"))
+                continue
+            text = combined_text(
+                [t.decode("latin-1") for t in title],
+                bytes(row["desc"]).decode("latin-1")
+                if has_desc and row["desc"] is not None else "",
+                bytes(row["text"]).decode("latin-1"),
+            )
+            out.append((
+                doc_id, score, url, title, generate_snippet(text, qterms)
+            ))
+        return out
+
     def top_k_with_snippets(
         self, query: str
     ) -> list[tuple[int, int, bytes, list[bytes], str]]:

@@ -233,3 +233,34 @@ def test_streaming_extract_and_windows(spark, tmp_path):
     assert spark.sql("select * from win_test").columns == [
         "window_start", "event_type", "n_events", "total_value"
     ]
+
+
+def test_stream_sessionize_equals_batch(spark):
+    """stream == batch (VERDICT r03 #5): the stateful streaming
+    sessionizer's final per-user state must equal the SQL-oracled batch
+    twin q_events_sessionize on the same events table — transitively
+    oracling the rows-only driver entry q_stream_sessionize."""
+    import pandas as pd
+
+    from mithril_spark.relational import (
+        q_events_sessionize,
+        q_stream_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_stream_sessionize(spark, sf).toPandas()
+    # update-mode memory sink carries one row per micro-batch update; the
+    # final state per user is the max (session_id and n_events are both
+    # monotone across updates)
+    got = got.groupby("user_id", as_index=False)[
+        ["session_id", "n_events"]
+    ].max()
+    want = (
+        q_events_sessionize(spark, sf)
+        .toPandas()
+        .rename(columns={"n_sessions": "session_id"})
+    )
+    cols = ["user_id", "session_id", "n_events"]
+    got = got.sort_values("user_id").reset_index(drop=True)[cols].astype("int64")
+    want = want.sort_values("user_id").reset_index(drop=True)[cols].astype("int64")
+    pd.testing.assert_frame_equal(got, want)

@@ -112,3 +112,49 @@ def test_snippet_fetch_plan_prunes(spark, tmp_path_factory):
     plan = fetch._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "url" in plan.split("PushedFilters")[1][:200], plan[:2000]
+
+
+def test_bm25_wand_snippets_match_oracle(spark, tmp_path_factory):
+    """bm25_topk_with_snippets (WAND path, VERDICT r03 #8): tuple shape and
+    snippet strings must equal an independent twin built from the oracle's
+    per-doc text with the same generate_snippet machinery (substring-first:
+    WAND carries no positions)."""
+    from mithril_spark.engine import SearchEngine
+    from mithril_spark.fixtures import generate_pages, pages_to_df
+    from mithril_spark.indexer import build_index
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.snippets import combined_text, generate_snippet
+    from mithril_spark.text.normalize import BODY, normalize
+
+    pages = generate_pages(150, seed=42)
+    path = str(tmp_path_factory.mktemp("wand_snip") / "i")
+    build_index(pages_to_df(spark, pages), path, num_shards=2)
+    engine = SearchEngine(spark, path)
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages], num_shards=2
+    )
+    docs_by_url = {d.url: d for d in oracle.docs}
+    url_of_id = {}
+    for sh in oracle.shards:
+        for local, meta in sh.doc_map.items():
+            url_of_id[local + sh.base_doc_id] = meta.url
+
+    for q in ["search engine", "granite quartz marble", "thermite"]:
+        got = engine.bm25_topk_with_snippets(q, k=8)
+        plain = engine.bm25_topk(q, k=8)
+        assert [(d, s) for d, s, _u, _t, _sn in got] == plain, q
+        qterms = [
+            t for t in (
+                normalize(tok.encode("utf-8"), BODY).decode("latin-1")
+                for tok in q.split()
+            ) if t
+        ]
+        for d, _s, url, _title, snip in got:
+            assert bytes(url) == url_of_id[d], q
+            doc = docs_by_url[bytes(url)]
+            text = combined_text(
+                [t.decode("latin-1") for t in doc.title_words],
+                b" ".join(doc.desc_words).decode("latin-1"),
+                doc.text.decode("latin-1"),
+            )
+            assert snip == generate_snippet(text, qterms), (q, url)
