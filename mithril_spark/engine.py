@@ -136,7 +136,8 @@ def _payload_from_pdf(pdf: pd.DataFrame) -> dict:
             )
         elif row.kind == "X":
             payload["X"].append(
-                (row.term, int(row.salt), bytes(row.doc_ids_enc),
+                (row.term, int(row.salt), int(row.first_doc_id),
+                 bytes(row.doc_ids_enc),
                  bytes(row.flags_enc), bytes(row.pos_counts_enc),
                  bytes(row.positions_enc))
             )
@@ -207,6 +208,18 @@ class SearchEngine:
             }
             for r in spark.read.parquet(os.path.join(index_dir, "index_stats")).collect()
         }
+        # WAND soundness across append-mode segments (indexer.py): blocks
+        # encoded before a shard's avg body length grew carry a too-small
+        # max_tfn bound; scale bounds up by avg_now/min_enc. Exactly 1.0
+        # (absent) for any index without appends — pruning unchanged.
+        enc = self.meta.get("min_avg_body_enc") or {}
+        self._tfn_scale: dict[int, float] = {}
+        for s, st in self.stats.items():
+            e = enc.get(str(s))
+            if e and st["doc_count"]:
+                avg_now = st["total_body"] / st["doc_count"]
+                if avg_now > float(e):
+                    self._tfn_scale[s] = avg_now / float(e)
 
     # --- helpers ---
 
@@ -249,7 +262,8 @@ class SearchEngine:
         x = self._bucket_filter(self.positions, position_terms).select(
             "shard", F.lit("X").alias("kind"), "term", "salt",
             null("long").alias("block_id"), null("long").alias("doc_count"),
-            null("long").alias("first_doc_id"), null("long").alias("last_doc_id"),
+            F.col("first_doc_id").cast("long").alias("first_doc_id"),
+            null("long").alias("last_doc_id"),
             null("long").alias("max_freq"), null("double").alias("max_tfn"),
             "doc_ids_enc", null("binary").alias("freqs_enc"),
             "flags_enc", "pos_counts_enc", "positions_enc",
@@ -318,7 +332,8 @@ class SearchEngine:
                     )
                 elif kind == "X":
                     pl["X"].append(
-                        (r["term"], int(r["salt"]), bytes(r["doc_ids_enc"]),
+                        (r["term"], int(r["salt"]), int(r["first_doc_id"]),
+                         bytes(r["doc_ids_enc"]),
                          bytes(r["flags_enc"]), bytes(r["pos_counts_enc"]),
                          bytes(r["positions_enc"]))
                     )
@@ -479,6 +494,7 @@ class SearchEngine:
             return []
         stats = self.stats
         shard_size = self.meta["shard_size"]
+        tfn_scales = self._tfn_scale
 
         def shard_fn(shard_id, pl, docmap_bytes):
             from .query.wand import bm25_wand_topk
@@ -499,6 +515,12 @@ class SearchEngine:
                         doc_id - base: meta[2] for doc_id, meta in docmap.items()
                     }
                 term_blocks = _payload_blocks(pl["P"])
+                scale = tfn_scales.get(shard_id)
+                if scale:
+                    for blocks in term_blocks.values():
+                        for b in blocks:
+                            if b["max_tfn"] is not None:
+                                b["max_tfn"] *= scale
                 avg = (
                     st["total_body"] / st["doc_count"]
                     if st["doc_count"] else 0.0
@@ -703,7 +725,9 @@ def _payload_blocks(p_rows) -> dict[str, list[dict]]:
         out.setdefault(term, []).append({
             "doc_count": dc, "first_doc_id": fd, "last_doc_id": ld,
             "max_freq": mf, "max_tfn": mt, "doc_ids_enc": de, "freqs_enc": fe,
-            "_order": (salt, block_id),
+            # first_doc_id, not block_id: append-mode segments restart
+            # block numbering, but docid ranges never overlap
+            "_order": (salt, fd),
         })
     for blocks in out.values():
         blocks.sort(key=lambda b: b["_order"])
@@ -743,22 +767,26 @@ def _build_shard(
         # concatenate directly into the sorted per-term arrays the
         # vectorized match walk (query/vecisr.py) and ranking batch lookups
         # consume — no per-posting Python list materialization.
+        # blocks order by (salt, first_doc_id): within one build segment
+        # that equals (salt, block_id), and across append-mode segments —
+        # where block_id restarts per segment but docid ranges never
+        # overlap — first_doc_id is the docid order (indexer.py append)
         by_term: dict[str, list] = {}
-        for term, salt, block_id, _dc, _fd, _ld, _mf, _mt, de, fe in payload["P"]:
-            by_term.setdefault(term, []).append((salt, block_id, de, fe))
+        for term, salt, block_id, _dc, fd, _ld, _mf, _mt, de, fe in payload["P"]:
+            by_term.setdefault(term, []).append((salt, fd, de, fe))
         for term, blocks in by_term.items():
             blocks.sort(key=lambda b: (b[0], b[1]))
-            parts = [decode_posting_block(de, fe) for _s, _b, de, fe in blocks]
+            parts = [decode_posting_block(de, fe) for _s, _f, de, fe in blocks]
             docs = np.concatenate([p[0] for p in parts]).astype(np.int64)
             freqs = np.concatenate([p[1] for p in parts]).astype(np.int64)
             shard.postings[term] = (docs, freqs)
         by_term = {}
-        for term, salt, de, fe, ce, pe in payload["X"]:
-            by_term.setdefault(term, []).append((salt, de, fe, ce, pe))
+        for term, salt, fd, de, fe, ce, pe in payload["X"]:
+            by_term.setdefault(term, []).append((salt, fd, de, fe, ce, pe))
         for term, blocks in by_term.items():
-            blocks.sort(key=lambda b: b[0])
+            blocks.sort(key=lambda b: (b[0], b[1]))
             dparts, flparts, plists = [], [], []
-            for _salt, de, fe, ce, pe in blocks:
+            for _salt, _fd, de, fe, ce, pe in blocks:
                 d, fl, pl = decode_position_block(de, fe, ce, pe)
                 dparts.append(d)
                 flparts.append(fl)

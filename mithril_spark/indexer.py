@@ -205,6 +205,166 @@ def _write_once(df: DataFrame, path: str, *, partition_by=None, force=False) -> 
     return True
 
 
+def _explode_postings(docs: DataFrame) -> DataFrame:
+    """Extracted docs (joined with ids) -> one row per (term, doc) posting,
+    keyed for the salted block build. Shared by the full build and the
+    append-mode incremental merge."""
+    return (
+        docs.select(
+            "shard", "local_id", "body_len",
+            F.explode(F.arrays_zip("terms", "freqs", "flags", "positions")).alias("t"),
+        )
+        .select(
+            F.col("t.terms").alias("term"),
+            "shard",
+            (F.col("local_id") / SALT_RANGE).cast("int").alias("salt"),
+            F.col("local_id").alias("doc_id"),
+            F.col("t.freqs").alias("freq"),
+            F.col("t.flags").alias("flags"),
+            F.col("t.positions").alias("positions"),
+            "body_len",
+        )
+    )
+
+
+def _make_posting_blocks(avg_body: dict):
+    """mapInPandas worker factory for the posting-block emit; ``avg_body``
+    (per-shard average body length at encode time) bakes the block-max
+    normalized-tf bound into each block."""
+
+    def _posting_blocks(batches):
+        # Streaming per-batch emit (VERDICT r02 #3): the upstream
+        # sortWithinPartitions makes every (term, shard, salt) group
+        # contiguous across the Arrow batch stream (Spark's JVM external
+        # sorter absorbs the spill), so only the final — possibly split —
+        # group of each batch is carried into the next. Peak pandas memory
+        # per task is one Arrow batch + one bounded group (<= SALT_RANGE
+        # postings), never the whole shuffle partition.
+        empty = pd.DataFrame(
+            {name: pd.Series(dtype=dt) for name, dt in _POSTING_DTYPES.items()}
+        )
+
+        def encode_group(key, parts):
+            term, shard, salt = key
+            grp = parts[0] if len(parts) == 1 else pd.concat(
+                parts, ignore_index=True
+            )
+            freqs = grp["freq"].to_numpy(dtype=np.float64)
+            avg = avg_body.get(int(shard), 0.0)
+            if avg > 0:
+                norm = 0.25 + 0.75 * (
+                    grp["body_len"].to_numpy(dtype=np.float64) / avg
+                )
+            else:
+                norm = np.ones_like(freqs)
+            out = []
+            for blk in encode_posting_blocks(
+                grp["doc_id"].to_numpy(dtype=np.int64),
+                grp["freq"].to_numpy(dtype=np.int64),
+                tf_norms=freqs / norm,
+            ):
+                blk.update(term=term, shard=int(shard), salt=int(salt))
+                out.append(blk)
+            return out
+
+        carry_key, carry_parts = None, []
+        emitted = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for key, grp in pdf.groupby(["term", "shard", "salt"], sort=False):
+                if carry_key is not None and tuple(key) != carry_key:
+                    rows.extend(encode_group(carry_key, carry_parts))
+                    carry_parts = []
+                carry_key = tuple(key)
+                carry_parts.append(grp)
+            if rows:
+                emitted = True
+                yield pd.DataFrame(rows)
+        if carry_key is not None:
+            yield pd.DataFrame(encode_group(carry_key, carry_parts))
+        elif not emitted:
+            yield empty
+
+    return _posting_blocks
+
+
+def _position_blocks(batches):
+    # Arrow-native AND streaming: per-doc position lists stay in each
+    # batch's Arrow buffer (offsets+values, no per-row Python lists),
+    # and — like _posting_blocks — the upstream sortWithinPartitions
+    # makes groups contiguous so only the final group of each batch is
+    # carried over, never the whole partition.
+    import pyarrow as pa
+
+    def emit(rows):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([r["term"] for r in rows], pa.string()),
+                pa.array([r["shard"] for r in rows], pa.int32()),
+                pa.array([r["salt"] for r in rows], pa.int32()),
+                pa.array([r["doc_count"] for r in rows], pa.int32()),
+                pa.array([r["first_doc_id"] for r in rows], pa.int64()),
+                pa.array([r["last_doc_id"] for r in rows], pa.int64()),
+                pa.array([r["doc_ids_enc"] for r in rows], pa.binary()),
+                pa.array([r["flags_enc"] for r in rows], pa.binary()),
+                pa.array([r["pos_counts_enc"] for r in rows], pa.binary()),
+                pa.array([r["positions_enc"] for r in rows], pa.binary()),
+            ],
+            names=["term", "shard", "salt", "doc_count", "first_doc_id",
+                   "last_doc_id", "doc_ids_enc", "flags_enc",
+                   "pos_counts_enc", "positions_enc"],
+        )
+
+    def encode_group(key, parts):
+        term, shard, salt = key
+        blk = encode_position_block(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            [arr for p in parts for arr in p[2]],
+        )
+        blk.update(term=term, shard=int(shard), salt=int(salt))
+        return blk
+
+    carry_key, carry_parts = None, []
+    emitted = False
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        pos_arr = batch.column("positions")
+        offsets = pos_arr.offsets.to_numpy()
+        values = pos_arr.values.to_numpy().astype(np.uint32, copy=False)
+        keys = pd.DataFrame({
+            "term": batch.column("term").to_pandas(),
+            "shard": batch.column("shard").to_numpy(),
+            "salt": batch.column("salt").to_numpy(),
+        })
+        doc_ids = batch.column("doc_id").to_numpy()
+        flags = batch.column("flags").to_numpy()
+        rows = []
+        # sort=False iterates groups in first-appearance (= row) order,
+        # so the last group iterated is the batch-final group to carry
+        for key, sub in keys.groupby(["term", "shard", "salt"], sort=False):
+            idx = sub.index.to_numpy()
+            part = (
+                doc_ids[idx], flags[idx],
+                [values[offsets[i]: offsets[i + 1]] for i in idx],
+            )
+            if carry_key is not None and tuple(key) != carry_key:
+                rows.append(encode_group(carry_key, carry_parts))
+                carry_parts = []
+            carry_key = tuple(key)
+            carry_parts.append(part)
+        if rows:
+            emitted = True
+            yield emit(rows)
+    if carry_key is not None:
+        yield emit([encode_group(carry_key, carry_parts)])
+    elif not emitted:
+        yield emit([])
+
+
 def build_index(
     pages: DataFrame,
     out_dir: str,
@@ -416,83 +576,12 @@ def _build_derived(
                           if int(r["doc_count"]) else 0.0)
         for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
     }
-    exploded = (
-        docs.select(
-            "shard", "local_id", "body_len",
-            F.explode(F.arrays_zip("terms", "freqs", "flags", "positions")).alias("t"),
-        )
-        .select(
-            F.col("t.terms").alias("term"),
-            "shard",
-            (F.col("local_id") / SALT_RANGE).cast("int").alias("salt"),
-            F.col("local_id").alias("doc_id"),
-            F.col("t.freqs").alias("freq"),
-            F.col("t.flags").alias("flags"),
-            F.col("t.positions").alias("positions"),
-            "body_len",
-        )
-    )
-
-    def _posting_blocks(batches):
-        # Streaming per-batch emit (VERDICT r02 #3): the upstream
-        # sortWithinPartitions makes every (term, shard, salt) group
-        # contiguous across the Arrow batch stream (Spark's JVM external
-        # sorter absorbs the spill), so only the final — possibly split —
-        # group of each batch is carried into the next. Peak pandas memory
-        # per task is one Arrow batch + one bounded group (<= SALT_RANGE
-        # postings), never the whole shuffle partition.
-        empty = pd.DataFrame(
-            {name: pd.Series(dtype=dt) for name, dt in _POSTING_DTYPES.items()}
-        )
-
-        def encode_group(key, parts):
-            term, shard, salt = key
-            grp = parts[0] if len(parts) == 1 else pd.concat(
-                parts, ignore_index=True
-            )
-            freqs = grp["freq"].to_numpy(dtype=np.float64)
-            avg = avg_body.get(int(shard), 0.0)
-            if avg > 0:
-                norm = 0.25 + 0.75 * (
-                    grp["body_len"].to_numpy(dtype=np.float64) / avg
-                )
-            else:
-                norm = np.ones_like(freqs)
-            out = []
-            for blk in encode_posting_blocks(
-                grp["doc_id"].to_numpy(dtype=np.int64),
-                grp["freq"].to_numpy(dtype=np.int64),
-                tf_norms=freqs / norm,
-            ):
-                blk.update(term=term, shard=int(shard), salt=int(salt))
-                out.append(blk)
-            return out
-
-        carry_key, carry_parts = None, []
-        emitted = False
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for key, grp in pdf.groupby(["term", "shard", "salt"], sort=False):
-                if carry_key is not None and tuple(key) != carry_key:
-                    rows.extend(encode_group(carry_key, carry_parts))
-                    carry_parts = []
-                carry_key = tuple(key)
-                carry_parts.append(grp)
-            if rows:
-                emitted = True
-                yield pd.DataFrame(rows)
-        if carry_key is not None:
-            yield pd.DataFrame(encode_group(carry_key, carry_parts))
-        elif not emitted:
-            yield empty
-
+    exploded = _explode_postings(docs)
     posting_blocks = (
         exploded.drop("flags", "positions")
         .repartition(sort_partitions, "term", "shard", "salt")
         .sortWithinPartitions("term", "shard", "salt")
-        .mapInPandas(_posting_blocks, schema=POSTING_BLOCK_SCHEMA)
+        .mapInPandas(_make_posting_blocks(avg_body), schema=POSTING_BLOCK_SCHEMA)
         .withColumn(
             "bucket",
             F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
@@ -512,81 +601,6 @@ def _build_derived(
     m["finished"] = time.time() - t_start
 
     m = phase("positions")
-
-    def _position_blocks(batches):
-        # Arrow-native AND streaming: per-doc position lists stay in each
-        # batch's Arrow buffer (offsets+values, no per-row Python lists),
-        # and — like _posting_blocks — the upstream sortWithinPartitions
-        # makes groups contiguous so only the final group of each batch is
-        # carried over, never the whole partition.
-        import pyarrow as pa
-
-        def emit(rows):
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array([r["term"] for r in rows], pa.string()),
-                    pa.array([r["shard"] for r in rows], pa.int32()),
-                    pa.array([r["salt"] for r in rows], pa.int32()),
-                    pa.array([r["doc_count"] for r in rows], pa.int32()),
-                    pa.array([r["first_doc_id"] for r in rows], pa.int64()),
-                    pa.array([r["last_doc_id"] for r in rows], pa.int64()),
-                    pa.array([r["doc_ids_enc"] for r in rows], pa.binary()),
-                    pa.array([r["flags_enc"] for r in rows], pa.binary()),
-                    pa.array([r["pos_counts_enc"] for r in rows], pa.binary()),
-                    pa.array([r["positions_enc"] for r in rows], pa.binary()),
-                ],
-                names=["term", "shard", "salt", "doc_count", "first_doc_id",
-                       "last_doc_id", "doc_ids_enc", "flags_enc",
-                       "pos_counts_enc", "positions_enc"],
-            )
-
-        def encode_group(key, parts):
-            term, shard, salt = key
-            blk = encode_position_block(
-                np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]),
-                [arr for p in parts for arr in p[2]],
-            )
-            blk.update(term=term, shard=int(shard), salt=int(salt))
-            return blk
-
-        carry_key, carry_parts = None, []
-        emitted = False
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            pos_arr = batch.column("positions")
-            offsets = pos_arr.offsets.to_numpy()
-            values = pos_arr.values.to_numpy().astype(np.uint32, copy=False)
-            keys = pd.DataFrame({
-                "term": batch.column("term").to_pandas(),
-                "shard": batch.column("shard").to_numpy(),
-                "salt": batch.column("salt").to_numpy(),
-            })
-            doc_ids = batch.column("doc_id").to_numpy()
-            flags = batch.column("flags").to_numpy()
-            rows = []
-            # sort=False iterates groups in first-appearance (= row) order,
-            # so the last group iterated is the batch-final group to carry
-            for key, sub in keys.groupby(["term", "shard", "salt"], sort=False):
-                idx = sub.index.to_numpy()
-                part = (
-                    doc_ids[idx], flags[idx],
-                    [values[offsets[i]: offsets[i + 1]] for i in idx],
-                )
-                if carry_key is not None and tuple(key) != carry_key:
-                    rows.append(encode_group(carry_key, carry_parts))
-                    carry_parts = []
-                carry_key = tuple(key)
-                carry_parts.append(part)
-            if rows:
-                emitted = True
-                yield emit(rows)
-        if carry_key is not None:
-            yield emit([encode_group(carry_key, carry_parts)])
-        elif not emitted:
-            yield emit([])
-
     position_blocks = (
         exploded.drop("body_len").filter(F.size("positions") > 0)
         .repartition(sort_partitions, "term", "shard", "salt")
@@ -669,11 +683,20 @@ def _build_derived(
     meta = {
         "total_docs": total_docs,
         "num_shards": num_shards,
+        # requested shard count of the last full (re)build — append-mode
+        # merges grow num_shards as segments spill; compact_index folds
+        # back to this canonical count
+        "num_shards_base": num_shards,
         "shard_size": shard_size,
         "num_buckets": num_buckets,
         "block_size": BLOCK_SIZE,
         "salt_range": SALT_RANGE,
         "counters": counters,
+        # smallest per-shard avg body length any of this shard's posting
+        # blocks were encoded with — append-mode merges lower it as the
+        # corpus drifts; serving scales block-max tf bounds by
+        # avg_now/min_enc so WAND pruning stays sound (engine.py)
+        "min_avg_body_enc": {str(s): a for s, a in avg_body.items()},
     }
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
@@ -759,21 +782,39 @@ def merge_index_delta(
     sort_partitions: int | None = None,
     pagerank: bool = False,
     extracted: DataFrame | None = None,
+    mode: str = "auto",
 ) -> dict:
     """Incrementally fold new pages into an existing index.
 
     The split follows where the cost lives: extraction (HTML parse +
     tokenization, the dominant build cost) runs ONLY for the new pages and
-    is appended as a ``stage_delta_N`` generation; the derived tables
-    (docids, doc_map, postings, positions, term_dict, stats, doc_text) are
-    recompacted from the resolved stage. They cannot be appended in place
-    under the dense-url-rank docid policy (oracle.py): a new url shifts
-    every rank behind it, so posting blocks are not append-stable — but
-    they ARE a deterministic function of the stage row set, which makes the
-    merged index byte-identical to a from-scratch build over the union
-    corpus (tests/test_incremental.py gates two increments at 1/2/3
-    shards). Re-crawled urls are replaced, matching dedupe_pages semantics
-    (latest generation wins).
+    is appended as a ``stage_delta_N`` generation. What happens to the
+    derived tables depends on ``mode``:
+
+    * ``"append"`` — the 100-TB path (VERDICT r03 #4). Delta docs get
+      docids appended after the existing corpus (url-ranked within the
+      delta), which fills the tail of the last shard and spills into new
+      serving shards; their posting/position blocks are encoded from the
+      delta alone and the files land next to the existing ones (blocks of
+      one (term, shard) never overlap in docid, so serving just orders by
+      first_doc_id). term_dict/stats are dictionary-sized rewrites;
+      doc_map/doc_ids/doc_text are row appends. A 1% delta shuffles and
+      writes O(delta) posting/position bytes, not O(corpus) — the
+      ``postings``/``positions`` phase metrics record ``appended_bytes``
+      next to the pre-merge ``table_bytes_before`` so the bound is
+      checkable (tests/test_incremental.py). Requires a delta of NEW urls
+      only and no pagerank refresh.
+    * ``"recompact"`` — the exact-layout path: derived tables are rebuilt
+      from the resolved stage. Under the dense-url-rank docid policy
+      (oracle.py) a new url shifts every rank behind it, so this is the
+      mode that keeps the merged index byte-identical to a from-scratch
+      build over the union corpus (tests/test_incremental.py gates two
+      increments at 1/2/3 shards). Re-crawled urls are replaced, matching
+      dedupe_pages semantics (latest generation wins).
+    * ``"auto"`` (default) — ``"append"`` when the delta touches no
+      existing url and no pagerank refresh was requested, else
+      ``"recompact"``. ``compact_index`` folds an appended index back to
+      the canonical dense layout (byte-identical to a fresh build).
 
     The reference's builder is batch-only (index/src/main.cpp); this is the
     "crawler keeps writing" continuation of streaming.stream_extract_pages:
@@ -783,6 +824,8 @@ def merge_index_delta(
     """
     if (new_pages is None) == (extracted is None):
         raise ValueError("pass exactly one of new_pages / extracted")
+    if mode not in ("auto", "append", "recompact"):
+        raise ValueError(f"unknown mode {mode!r}")
     spark = (new_pages if new_pages is not None else extracted).sparkSession
     with open(os.path.join(index_dir, "index_meta.json")) as f:
         meta = json.load(f)
@@ -806,16 +849,395 @@ def merge_index_delta(
     n_existing = len(_stage_generations(index_dir))
     delta_path = os.path.join(index_dir, f"stage_delta_{n_existing:05d}")
     _write_once(delta_rows, delta_path, force=True)
+    delta_rows = spark.read.parquet(delta_path)
     m["ran"] = True
     m["finished"] = time.time() - t_start
 
+    if mode == "auto":
+        if pagerank:
+            mode = "recompact"
+        else:
+            # append-eligible iff no delta url is already indexed; the ids
+            # table is the slim (url, doc_id) probe — AQE broadcasts the
+            # (small) delta url set, one pruned scan decides
+            overlap = (
+                spark.read.parquet(os.path.join(index_dir, "doc_ids"))
+                .join(delta_rows.select("url").distinct(), "url")
+                .limit(1)
+                .count()
+            )
+            mode = "recompact" if overlap else "append"
+
+    if mode == "append":
+        return _append_delta_derived(
+            spark, delta_rows, index_dir, meta,
+            sort_partitions=sort_partitions,
+            metrics=metrics, phase=phase, t_start=t_start,
+        )
+
     stage = read_stage(spark, index_dir)
-    return _build_derived(
+    result = _build_derived(
         spark, stage, index_dir,
-        num_shards=meta["num_shards"], num_buckets=meta["num_buckets"],
+        num_shards=int(meta.get("num_shards_base", meta["num_shards"])),
+        num_buckets=meta["num_buckets"],
         sort_partitions=sort_partitions, force=True, pagerank=pagerank,
         metrics=metrics, phase=phase, t_start=t_start,
     )
+    result["mode"] = "recompact"
+    return result
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    """Total on-disk parquet bytes under ``path`` (one partition level deep)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files if f.endswith(".parquet")
+        )
+    return total
+
+
+def _adopt_parquet_files(tmp_dir: str, final_dir: str) -> int:
+    """Move a delta write's parquet part-files into the live table dir,
+    preserving hive partition subdirs. Part names carry a job UUID, so
+    collisions cannot occur. Returns bytes moved."""
+    import shutil
+
+    moved = 0
+    for root, _dirs, files in os.walk(tmp_dir):
+        rel = os.path.relpath(root, tmp_dir)
+        dest = final_dir if rel == "." else os.path.join(final_dir, rel)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            os.makedirs(dest, exist_ok=True)
+            src = os.path.join(root, f)
+            moved += os.path.getsize(src)
+            shutil.move(src, os.path.join(dest, f))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return moved
+
+
+def _swap_dir(tmp: str, final: str) -> None:
+    import shutil
+
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+
+
+def _append_delta_derived(
+    spark: SparkSession,
+    delta: DataFrame,
+    out_dir: str,
+    meta: dict,
+    *,
+    sort_partitions: int,
+    metrics: list,
+    phase,
+    t_start: float,
+) -> dict:
+    """Append-mode incremental merge: O(delta) posting/position work.
+
+    Delta docs are url-ranked AFTER the existing corpus, so with the
+    original ``shard_size`` kept fixed the dense-docid identities
+    (``global = shard*shard_size + local``, salt = local // SALT_RANGE,
+    per-shard local ids dense from 0) all still hold: the delta fills the
+    tail of the last shard and spills into brand-new serving shards — the
+    segment growth pattern of a log-structured index, with
+    ``compact_index`` as the periodic fold back to the canonical layout.
+    Blocks of one (term, shard) never overlap in docid between segments,
+    so serving only needs to order a term's blocks by ``first_doc_id``
+    (engine._build_shard / _payload_blocks).
+
+    WAND soundness across segments: blocks bake in a max-normalized-tf
+    bound computed with the avg body length AT ENCODE TIME; if the corpus
+    avg later grows, stale bounds could under-estimate. ``index_meta``
+    tracks the smallest avg each shard ever encoded with
+    (``min_avg_body_enc``) and serving scales bounds up by
+    avg_now/min_enc (engine.bm25_topk) — pruning can only get looser,
+    never wrong."""
+    shard_size = int(meta["shard_size"])
+    num_buckets = int(meta["num_buckets"])
+    total_docs = int(meta["total_docs"])
+
+    # intra-delta url dedupe with read_stage's tie rule (max md5(text)) so a
+    # later recompaction resolves to the same rows
+    payload = [c for c in delta.columns if c != "url"]
+    delta = (
+        delta.groupBy("url")
+        .agg(F.max_by(F.struct(*payload), F.md5(F.col("text"))).alias("_r"))
+        .select("url", *[F.col("_r." + c).alias(c) for c in payload])
+    )
+
+    # --- delta docid assignment: url-ranked after the existing corpus ---
+    m = phase("assign_ids_delta")
+    ids_stage = os.path.join(out_dir, "_ids_delta_stage")
+    (
+        delta.select("url")
+        .repartitionByRange(sort_partitions, "url")
+        .sortWithinPartitions("url")
+        .withColumn("pid", F.spark_partition_id())
+        .write.mode("overwrite").parquet(ids_stage)
+    )
+    staged = spark.read.parquet(ids_stage)
+    counts = {
+        int(r["pid"]): int(r["cnt"])
+        for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_delta = sum(counts.values())
+    m["delta_docs"] = n_delta
+    if n_delta == 0:
+        import shutil
+
+        shutil.rmtree(ids_stage, ignore_errors=True)
+        m["finished"] = time.time() - t_start
+        return {"meta": meta, "phases": metrics,
+                "wall_s": time.time() - t_start, "mode": "append"}
+    offsets = {}
+    acc = total_docs
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def _assign(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if table.num_rows == 0:
+            return table.drop_columns(["pid"])
+        order = pc.sort_indices(table, sort_keys=[("url", "ascending")])
+        table = table.take(order)
+        u = table.column("url").combine_chunks()
+        if table.num_rows > 1:
+            dup = pc.any(pc.equal(u.slice(1), u.slice(0, len(u) - 1)))
+            if dup.as_py():
+                raise ValueError("duplicate url in append delta")
+        base = offsets[table.column("pid")[0].as_py()]
+        doc_id = base + np.arange(table.num_rows, dtype=np.int64)
+        shard = (doc_id // shard_size).astype(np.int32)
+        local = doc_id - shard.astype(np.int64) * shard_size
+        table = table.drop_columns(["pid"])
+        return (
+            table.append_column("doc_id", pa.array(doc_id, pa.int64()))
+            .append_column("shard", pa.array(shard, pa.int32()))
+            .append_column("local_id", pa.array(local, pa.int64()))
+        )
+
+    ids_tmp = os.path.join(out_dir, "_ids_delta")
+    staged.groupBy("pid").applyInArrow(
+        _assign, schema="url binary, doc_id long, shard int, local_id long"
+    ).write.mode("overwrite").parquet(ids_tmp)
+    # downstream phases read the delta ids from the tmp dir; the files are
+    # adopted into doc_ids only after the last consumer ran (end of merge)
+    ids_delta = spark.read.parquet(ids_tmp)
+    m["finished"] = time.time() - t_start
+
+    docs = delta.join(F.broadcast(ids_delta), "url")
+
+    # --- doc_map: row append; stats: exact recompute from the slim doc_map ---
+    m = phase("doc_map_delta")
+    doc_map_delta = docs.select(
+        "shard", "doc_id", "local_id", "url", "title",
+        "body_len", "title_len", "url_len", "desc_len", "static_rank",
+        F.lit(0.0).cast("float").alias("pagerank"),
+    )
+    doc_map_path = os.path.join(out_dir, "doc_map")
+    doc_map_delta.write.mode("append").partitionBy("shard").parquet(doc_map_path)
+    stats_tmp = os.path.join(out_dir, "_index_stats_new")
+    (
+        spark.read.parquet(doc_map_path)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("body_len").alias("total_body"),
+            F.sum("title_len").alias("total_title"),
+            F.sum("url_len").alias("total_url"),
+            F.sum("desc_len").alias("total_desc"),
+        )
+        .write.mode("overwrite").parquet(stats_tmp)
+    )
+    _swap_dir(stats_tmp, os.path.join(out_dir, "index_stats"))
+    avg_body = {
+        int(r["shard"]): (int(r["total_body"]) / int(r["doc_count"])
+                          if int(r["doc_count"]) else 0.0)
+        for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
+    }
+    m["ran"] = True
+    m["finished"] = time.time() - t_start
+
+    # --- postings: encode the delta alone, adopt files, merge term_dict ---
+    m = phase("postings")
+    postings_path = os.path.join(out_dir, "postings")
+    m["table_bytes_before"] = _dir_parquet_bytes(postings_path)
+    exploded = _explode_postings(docs)
+    post_tmp = os.path.join(out_dir, "_postings_delta")
+    (
+        exploded.drop("flags", "positions")
+        .repartition(sort_partitions, "term", "shard", "salt")
+        .sortWithinPartitions("term", "shard", "salt")
+        .mapInPandas(_make_posting_blocks(avg_body), schema=POSTING_BLOCK_SCHEMA)
+        .withColumn(
+            "bucket",
+            F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(post_tmp)
+    )
+    delta_post = spark.read.parquet(post_tmp)
+    crow = delta_post.agg(
+        F.count("*").alias("blocks"),
+        F.sum("doc_count").alias("postings"),
+        F.sum(F.length("doc_ids_enc") + F.length("freqs_enc")).alias("bytes"),
+    ).collect()[0]
+    # dictionary-sized rewrite: union old rows with the delta's df/cf and
+    # re-aggregate — O(|dictionary| + |delta terms|), no posting decode
+    term_tmp = os.path.join(out_dir, "_term_dict_new")
+    delta_term = delta_post.groupBy("term", "shard", "bucket").agg(
+        F.sum("doc_count").alias("df"), F.sum("freq_sum").alias("cf")
+    )
+    (
+        spark.read.parquet(os.path.join(out_dir, "term_dict"))
+        .select("term", "shard", "bucket", "df", "cf")
+        .unionByName(delta_term)
+        .groupBy("term", "shard", "bucket")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(term_tmp)
+    )
+    _swap_dir(term_tmp, os.path.join(out_dir, "term_dict"))
+    m["appended_bytes"] = _adopt_parquet_files(post_tmp, postings_path)
+    # encoded posting payload alone — the scale-true marginal cost; the
+    # file-level appended_bytes additionally carries a per-append floor of
+    # ~num_buckets parquet footers (bounded, reclaimed by compact_index)
+    m["encoded_bytes"] = int(crow["bytes"] or 0)
+    m["ran"] = True
+    m["finished"] = time.time() - t_start
+
+    m = phase("positions")
+    positions_path = os.path.join(out_dir, "positions")
+    m["table_bytes_before"] = _dir_parquet_bytes(positions_path)
+    pos_tmp = os.path.join(out_dir, "_positions_delta")
+    (
+        exploded.drop("body_len").filter(F.size("positions") > 0)
+        .repartition(sort_partitions, "term", "shard", "salt")
+        .sortWithinPartitions("term", "shard", "salt")
+        .mapInArrow(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
+        .withColumn(
+            "bucket",
+            F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(pos_tmp)
+    )
+    m["appended_bytes"] = _adopt_parquet_files(pos_tmp, positions_path)
+    m["ran"] = True
+    m["finished"] = time.time() - t_start
+
+    # --- doc_text: url-sorted row append (each delta file carries its own
+    # url min/max, so snippet IN-list pruning keeps working per file) ---
+    m = phase("doc_text")
+    text_tmp = os.path.join(out_dir, "_doc_text_delta")
+    (
+        delta.select("url", "title", "desc", "text")
+        .repartitionByRange(sort_partitions, "url")
+        .sortWithinPartitions("url")
+        .write.mode("overwrite").parquet(text_tmp)
+    )
+    _adopt_parquet_files(text_tmp, os.path.join(out_dir, "doc_text"))
+    m["ran"] = True
+    m["finished"] = time.time() - t_start
+
+    # --- counters + metadata ---
+    m = phase("counters")
+    counters = dict(meta.get("counters") or {})
+    counters["docs_tokenized"] = counters.get("docs_tokenized", 0) + n_delta
+    counters["posting_blocks"] = (
+        counters.get("posting_blocks", 0) + int(crow["blocks"] or 0))
+    counters["postings_emitted"] = (
+        counters.get("postings_emitted", 0) + int(crow["postings"] or 0))
+    counters["posting_bytes_compressed"] = (
+        counters.get("posting_bytes_compressed", 0) + int(crow["bytes"] or 0))
+    m.update(counters)
+    m["finished"] = time.time() - t_start
+
+    touched_shards = {
+        int(r["shard"])
+        for r in ids_delta.select("shard").distinct().collect()
+    }
+    # all consumers of the delta ids have executed — fold the files into
+    # the live doc_ids table and bump the assignment watermark
+    import shutil
+
+    _adopt_parquet_files(ids_tmp, os.path.join(out_dir, "doc_ids"))
+    shutil.rmtree(ids_stage, ignore_errors=True)
+    with open(os.path.join(out_dir, "_assign_meta.json")) as f:
+        assign_meta = json.load(f)
+    assign_meta["total_docs"] = total_docs + n_delta
+    with open(os.path.join(out_dir, "_assign_meta.json"), "w") as f:
+        json.dump(assign_meta, f)
+
+    min_enc = dict(meta.get("min_avg_body_enc") or {})
+    for s in touched_shards:
+        a = avg_body.get(s, 0.0)
+        prev = min_enc.get(str(s))
+        min_enc[str(s)] = a if prev is None else min(float(prev), a)
+    meta = dict(
+        meta,
+        total_docs=total_docs + n_delta,
+        num_shards=max(int(meta["num_shards"]),
+                       max(touched_shards, default=0) + 1),
+        counters=counters,
+        min_avg_body_enc=min_enc,
+    )
+    with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    result = {"meta": meta, "phases": metrics,
+              "wall_s": time.time() - t_start, "mode": "append"}
+    metrics_df = spark.createDataFrame(
+        [(mm["phase"], float(mm["started"]), float(mm.get("finished", 0.0)),
+          bool(mm.get("ran", False)),
+          int(mm.get("docs_tokenized", 0)), int(mm.get("postings_emitted", 0)),
+          int(mm.get("posting_bytes_compressed", 0)))
+         for mm in metrics],
+        "phase string, started double, finished double, ran boolean, "
+        "docs_tokenized long, postings_emitted long, bytes_compressed long",
+    )
+    _write_once(metrics_df, os.path.join(out_dir, "build_metrics"), force=True)
+    return result
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  num_shards: int | None = None,
+                  sort_partitions: int | None = None,
+                  pagerank: bool = False) -> dict:
+    """Fold an append-mode index back to the canonical dense layout: stage
+    generations compact to one stage_raw and every derived table is rebuilt
+    from it — byte-identical to a from-scratch build over the same corpus
+    (tests/test_incremental.py). This is the periodic compaction that
+    bounds segment growth between appends."""
+    with open(os.path.join(index_dir, "index_meta.json")) as f:
+        meta = json.load(f)
+    if num_shards is None:
+        num_shards = int(meta.get("num_shards_base", meta["num_shards"]))
+    if sort_partitions is None:
+        sort_partitions = max(spark.sparkContext.defaultParallelism, 4)
+    compact_stage(spark, index_dir)
+    metrics: list[dict] = []
+    t_start = time.time()
+
+    def phase(name):
+        metrics.append({"phase": name, "started": time.time() - t_start})
+        return metrics[-1]
+
+    stage = spark.read.parquet(os.path.join(index_dir, "stage_raw"))
+    result = _build_derived(
+        spark, stage, index_dir,
+        num_shards=num_shards, num_buckets=int(meta["num_buckets"]),
+        sort_partitions=sort_partitions, force=True, pagerank=pagerank,
+        metrics=metrics, phase=phase, t_start=t_start,
+    )
+    result["mode"] = "compact"
+    return result
 
 
 def compact_stage(spark: SparkSession, index_dir: str) -> int:

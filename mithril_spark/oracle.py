@@ -46,13 +46,21 @@ class OracleIndex:
     def build(
         cls, pages: list[tuple[bytes, bytes]], num_shards: int = 1,
         pagerank: bool = False, pagerank_weight: float = 0.0,
+        sort_key=None, shard_size: int | None = None,
     ) -> "OracleIndex":
+        """``sort_key``/``shard_size`` replicate non-canonical docid
+        layouts — e.g. an append-mode merged index (indexer.py), whose
+        delta docs rank AFTER the base corpus while ``shard_size`` stays
+        the base build's: ``sort_key=lambda url: (url in delta, url)``,
+        ``shard_size=<base's>``. Defaults give the canonical dense
+        url-rank layout."""
         admitted: list[DocTerms] = []
         for url, html in pages:
             doc = process_page(url, html)
             if doc is not None:
                 admitted.append(doc)
-        admitted.sort(key=lambda d: d.url)
+        admitted.sort(key=(lambda d: sort_key(d.url)) if sort_key
+                      else (lambda d: d.url))
 
         pr_by_url: dict[bytes, float] = {}
         if pagerank:
@@ -76,7 +84,10 @@ class OracleIndex:
             }
 
         n = len(admitted)
-        shard_size = -(-n // num_shards) if n else 1
+        if shard_size is None:
+            shard_size = -(-n // num_shards) if n else 1
+        else:
+            num_shards = max(num_shards, -(-n // shard_size) if n else 1)
         shards: list[ShardIndex] = []
         for s in range(num_shards):
             base = s * shard_size

@@ -1,0 +1,270 @@
+"""Append-mode incremental merge (VERDICT r03 #4): O(delta) posting work.
+
+``merge_index_delta(mode="append")`` — selected automatically for deltas of
+new urls — appends posting/position segments instead of recompacting the
+corpus. Docids stay dense per shard (the delta fills the tail shard and
+spills into new serving shards), so when the delta's urls all sort AFTER
+the existing corpus the result is exactly the dense layout a fresh build
+would produce: those cases gate VALUE identity of every derived table and
+full top_k tuple identity. Interleaved-url deltas change docid values (not
+content): those gate url-level match-set identity, global df identity and
+the o(corpus) bytes bound the verdict asked for. ``compact_index`` folds
+any appended index back to byte-identity with a fresh build.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from mithril_spark.codec import decode_posting_block, decode_position_block
+from mithril_spark.engine import SearchEngine
+from mithril_spark.fixtures import generate_pages, pages_to_df
+from mithril_spark.indexer import (
+    build_index,
+    compact_index,
+    merge_index_delta,
+)
+from mithril_spark.oracle import OracleIndex
+from tests.test_incremental import _assert_same_index
+
+QUERIES = [
+    "search engine",
+    "granite OR marble",
+    "NOT quartz",
+    "data AND systems",
+    '"search engine"',
+]
+
+
+def _sorted_pages(n, seed=42):
+    # binary url order — the docid-assignment sort key (indexer._assign)
+    pages = generate_pages(n, seed=seed)
+    return sorted(pages, key=lambda p: p["url"].encode())
+
+
+def _decoded_postings(spark, path):
+    """(term, shard) -> (docs, freqs) concatenated in docid order —
+    block-boundary-insensitive content view of the postings table."""
+    rows = spark.read.parquet(f"{path}/postings").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["term"], int(r["shard"])), []).append(r)
+    out = {}
+    for key, blks in by_key.items():
+        blks.sort(key=lambda b: (int(b["salt"]), int(b["first_doc_id"])))
+        parts = [decode_posting_block(bytes(b["doc_ids_enc"]),
+                                      bytes(b["freqs_enc"])) for b in blks]
+        docs = np.concatenate([p[0] for p in parts])
+        freqs = np.concatenate([p[1] for p in parts])
+        assert (np.diff(docs) > 0).all(), f"unsorted postings for {key}"
+        out[key] = (docs.tolist(), freqs.tolist())
+    return out
+
+
+def _decoded_positions(spark, path):
+    rows = spark.read.parquet(f"{path}/positions").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["term"], int(r["shard"])), []).append(r)
+    out = {}
+    for key, blks in by_key.items():
+        blks.sort(key=lambda b: (int(b["salt"]), int(b["first_doc_id"])))
+        docs, flags, plists = [], [], []
+        for b in blks:
+            d, fl, pl = decode_position_block(
+                bytes(b["doc_ids_enc"]), bytes(b["flags_enc"]),
+                bytes(b["pos_counts_enc"]), bytes(b["positions_enc"]))
+            docs.extend(d.tolist())
+            flags.extend(fl.tolist())
+            plists.extend(p.tolist() for p in pl)
+        assert docs == sorted(docs)
+        out[key] = (docs, flags, plists)
+    return out
+
+
+def _doc_urls(spark, path):
+    return {
+        int(r["doc_id"]): bytes(r["url"])
+        for r in spark.read.parquet(f"{path}/doc_map").collect()
+    }
+
+
+def test_append_aligned_is_byte_identical(spark, tmp_path_factory):
+    """Delta urls sorting after a shard-aligned base: the appended index
+    IS the dense layout — every table byte/value-identical to a fresh
+    build, including block boundaries, and served results are equal."""
+    pages = _sorted_pages(150)
+    base, delta = pages[:100], pages[100:]
+
+    full_dir = str(tmp_path_factory.mktemp("ap_full") / "i")
+    build_index(pages_to_df(spark, pages), full_dir, num_shards=3)
+
+    inc_dir = str(tmp_path_factory.mktemp("ap_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+    res = merge_index_delta(inc_dir, pages_to_df(spark, delta))
+    assert res["mode"] == "append"
+    # base had 2 full shards of 50; the delta spilled into shard 2
+    assert res["meta"]["num_shards"] == 3
+
+    _assert_same_index(spark, full_dir, inc_dir)
+
+    ef = SearchEngine(spark, full_dir, cache_doc_map=False)
+    ei = SearchEngine(spark, inc_dir, cache_doc_map=False)
+    for q in QUERIES:
+        assert ef.top_k(q) == ei.top_k(q), q
+        assert ef.bm25_topk(q) == ei.bm25_topk(q), q
+
+
+def test_append_tail_fill_same_content(spark, tmp_path_factory):
+    """Delta straddling a partially-filled tail shard: block boundaries
+    legitimately differ from a fresh build (segments encode separately)
+    but decoded posting/position streams, term_dict, stats, doc_map and
+    served results are identical — docids included."""
+    pages = _sorted_pages(144)
+    base, delta = pages[:95], pages[95:]
+
+    full_dir = str(tmp_path_factory.mktemp("tf_full") / "i")
+    build_index(pages_to_df(spark, pages), full_dir, num_shards=3)
+
+    inc_dir = str(tmp_path_factory.mktemp("tf_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+    res = merge_index_delta(inc_dir, pages_to_df(spark, delta))
+    assert res["mode"] == "append"
+
+    assert _decoded_postings(spark, full_dir) == _decoded_postings(spark, inc_dir)
+    assert _decoded_positions(spark, full_dir) == _decoded_positions(spark, inc_dir)
+    from tests.test_incremental import DCOLS, SCOLS, TCOLS, _tbl
+
+    for name, cols in [("doc_map", DCOLS), ("term_dict", TCOLS),
+                       ("index_stats", SCOLS)]:
+        assert _tbl(spark, full_dir, name, cols) == _tbl(spark, inc_dir, name, cols)
+
+    ef = SearchEngine(spark, full_dir, cache_doc_map=False)
+    ei = SearchEngine(spark, inc_dir, cache_doc_map=False)
+    for q in QUERIES:
+        assert ef.top_k(q) == ei.top_k(q), q
+        assert ef.bm25_topk(q) == ei.bm25_topk(q), q
+
+
+def test_append_interleaved_semantics(spark, tmp_path_factory):
+    """Generic delta (urls interleave with the base): docids differ from a
+    fresh dense build but the CONTENT must agree — url-level match sets
+    for every query shape, global df per term, corpus stats."""
+    pages = generate_pages(150, seed=7)
+    base, delta = pages[:100], pages[100:]
+
+    full_dir = str(tmp_path_factory.mktemp("il_full") / "i")
+    build_index(pages_to_df(spark, pages), full_dir, num_shards=3)
+
+    inc_dir = str(tmp_path_factory.mktemp("il_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+    res = merge_index_delta(inc_dir, pages_to_df(spark, delta))
+    assert res["mode"] == "append"
+
+    ef = SearchEngine(spark, full_dir, cache_doc_map=False)
+    ei = SearchEngine(spark, inc_dir, cache_doc_map=False)
+    uf, ui = _doc_urls(spark, full_dir), _doc_urls(spark, inc_dir)
+    assert sorted(uf.values()) == sorted(ui.values())
+    # cross-layout comparison is only valid for shard-layout-INDEPENDENT
+    # query shapes (plain/AND/OR): NOT and quote/phrase carry reference
+    # quirks that kill a whole shard's stream on a missing term, so their
+    # match sets legitimately depend on which docs share a shard — those
+    # shapes are gated below against an oracle built at the SAME layout
+    for q in ["search engine", "granite OR marble", "data AND systems"]:
+        assert {uf[d] for d in ef.matches(q)} == \
+               {ui[d] for d in ei.matches(q)}, q
+
+    # the flagship rank-identity invariant, extended to the appended
+    # layout: an oracle whose docid order is (base urls, then delta urls)
+    # at the base build's shard_size IS the spec for this index
+    with open(os.path.join(inc_dir, "index_meta.json")) as f:
+        shard_size = json.load(f)["shard_size"]
+    delta_urls = {p["url"].encode() for p in delta}
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages],
+        sort_key=lambda u: (u in delta_urls, u), shard_size=shard_size,
+    )
+    for q in QUERIES + ["systems OR NOT granite", '"data systems"']:
+        assert ei.top_k(q) == oracle.top_k(q), q
+        assert sorted(ei.matches(q)) == sorted(oracle.matches(q)), q
+
+    df_full = {
+        (r["term"],): int(r["df"]) for r in
+        spark.read.parquet(f"{full_dir}/term_dict")
+        .groupBy("term").agg({"df": "sum"})
+        .withColumnRenamed("sum(df)", "df").collect()
+    }
+    df_inc = {
+        (r["term"],): int(r["df"]) for r in
+        spark.read.parquet(f"{inc_dir}/term_dict")
+        .groupBy("term").agg({"df": "sum"})
+        .withColumnRenamed("sum(df)", "df").collect()
+    }
+    assert df_full == df_inc
+
+    # compaction folds the appended segments back to the canonical dense
+    # layout: byte-identical to a fresh build at the base shard count
+    compact_index(spark, inc_dir)
+    full2 = str(tmp_path_factory.mktemp("il_full2") / "i")
+    build_index(pages_to_df(spark, pages), full2, num_shards=2)
+    _assert_same_index(spark, full2, inc_dir)
+
+
+def test_append_writes_o_delta_bytes(spark, tmp_path_factory):
+    """The verdict's hard bound: a small delta appends o(corpus)
+    posting/position bytes (recompaction would rewrite ~100%)."""
+    pages = generate_pages(400, seed=11)
+    base, delta = pages[:388], pages[388:]
+
+    inc_dir = str(tmp_path_factory.mktemp("bb_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+    res = merge_index_delta(inc_dir, pages_to_df(spark, delta),
+                            sort_partitions=4)
+    assert res["mode"] == "append"
+    by_phase = {p["phase"]: p for p in res["phases"]}
+    for tbl in ("postings", "positions"):
+        appended = by_phase[tbl]["appended_bytes"]
+        before = by_phase[tbl]["table_bytes_before"]
+        assert appended > 0
+        # file-level bytes carry a per-append floor of ~num_buckets parquet
+        # footers (the small-files cost of any log-structured index —
+        # irrelevant at real scale, reclaimed by compact_index); at this
+        # toy scale that floor dominates, so the file-level bound is loose
+        assert appended < 0.5 * before, (tbl, appended, before)
+    # the scale-true signal: ENCODED posting payload appended for a 3%
+    # delta is a small fraction of the corpus' total encoded bytes
+    with open(os.path.join(inc_dir, "index_meta.json")) as f:
+        total_enc = json.load(f)["counters"]["posting_bytes_compressed"]
+    enc = by_phase["postings"]["encoded_bytes"]
+    assert 0 < enc < 0.1 * total_enc, (enc, total_enc)
+
+    # the appended index still serves without any rebuild
+    ei = SearchEngine(spark, inc_dir, cache_doc_map=False)
+    urls = _doc_urls(spark, inc_dir)
+    hits = {urls[d] for d, *_ in ei.top_k("search")} | \
+           {urls[d] for d, *_ in ei.top_k("granite OR data")}
+    assert hits
+
+
+def test_auto_mode_selection(spark, tmp_path_factory):
+    """auto: re-crawled url in the delta -> recompact (byte-identity
+    semantics preserved); fresh urls -> append."""
+    pages = generate_pages(40, seed=5)
+    inc_dir = str(tmp_path_factory.mktemp("auto_inc") / "i")
+    build_index(pages_to_df(spark, pages[:30]), inc_dir, num_shards=2)
+
+    res = merge_index_delta(inc_dir, pages_to_df(spark, pages[30:35]))
+    assert res["mode"] == "append"
+
+    recrawl = [dict(pages[3], html=pages[7]["html"])] + pages[35:]
+    res = merge_index_delta(inc_dir, pages_to_df(spark, recrawl))
+    assert res["mode"] == "recompact"
+
+    with open(os.path.join(inc_dir, "index_meta.json")) as f:
+        meta = json.load(f)
+    rows = spark.read.parquet(f"{inc_dir}/doc_map").select("url").collect()
+    urls = {bytes(r["url"]) for r in rows}
+    # replacement, not duplication: every url once, meta agrees
+    assert len(rows) == len(urls) == meta["total_docs"]
+    assert pages[3]["url"].encode() in urls

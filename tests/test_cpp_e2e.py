@@ -132,7 +132,7 @@ def _write_reference_corpus(docs, crawl_dir: str) -> None:
             f.write(payload)
 
 
-def _extra_queries() -> list[str]:
+def _extra_queries(n: int = 40, seed: int = 987) -> list[str]:
     """Deterministic operator-rich queries over the fixture vocab — drives
     the reference's storage-backed TermQuote/TermPhrase/NotISR and Query.h
     lowering beyond QUERY_SET's grammar coverage."""
@@ -140,10 +140,10 @@ def _extra_queries() -> list[str]:
 
     from mithril_spark.fixtures import STOP_SAMPLE, VOCAB
 
-    rng = random.Random(987)
+    rng = random.Random(seed)
     pool = VOCAB + STOP_SAMPLE
     out = []
-    for _ in range(40):
+    for _ in range(n):
         r = rng.random()
         if r < 0.2:
             out.append(f'"{rng.choice(pool)} {rng.choice(pool)}"')
@@ -180,66 +180,24 @@ def ref_stack(tmp_path_factory):
     return builder, query, termdict
 
 
-def test_reference_index_and_query_end_to_end(ref_stack, tmp_path_factory):
-    from mithril_spark.fixtures import QUERY_SET, generate_pages
-    from mithril_spark.oracle import OracleIndex
-    from mithril_spark.query.shard import evaluate_query
+def _differential_compare(query_exe, work, oracle, queries,
+                          min_identical_frac=0.5):
+    """Answer ``queries`` through the reference's compiled QueryManager
+    over the index at ``work``/index and assert the defect-horizon-exact
+    differential documented in the module docstring: full positional
+    equality below each query's cursor-defect limit, every divergence
+    explained by it, and a substantive fully-identical majority."""
+    from mithril_spark.query.shard import TOP_K, evaluate_query
     from mithril_spark.ranking import tokenify_query
-    from mithril_spark.text.docproc import process_page
     from mithril_spark.text.normalize import STOPWORDS
 
-    builder, query_exe, termdict_exe = ref_stack
-    work = str(tmp_path_factory.mktemp("e2e"))
-    pages = generate_pages(150, seed=42)
-    docs = sorted(
-        (d for d in (process_page(p["url"].encode(), p["html"])
-                     for p in pages) if d is not None),
-        key=lambda d: d.url,
-    )
-    _write_reference_corpus(docs, work + "/crawl")
-    r = subprocess.run(
-        [builder, work + "/crawl", f"--output={work}/index", "--force",
-         "--quiet"],
-        capture_output=True, timeout=300,
-    )
-    assert r.returncode == 0, r.stderr[-400:]
-
-    # same docid policy by construction: url-sorted dense ids
-    oracle = OracleIndex.build(
-        [(p["url"].encode(), p["html"]) for p in pages], num_shards=1
-    )
     shard = oracle.shards[0]
-    assert shard.doc_count == len(docs)
-
-    # FULL dictionary equality: the reference's term dictionary and ours
-    # are the same mapping — equal size, and every one of our terms is
-    # present with an equal df (injection + equal cardinality = identity).
-    # This gates tokenization/decoration/df-counting across the WHOLE
-    # index, not just queried terms.
-    our_terms = sorted(shard.postings)
-    td_in = b"".join(
-        b"%d\n%s\n" % (len(t.encode("latin-1")), t.encode("latin-1"))
-        for t in our_terms
-    )
-    td_out = work + "/termdict.txt"
-    r = subprocess.run([termdict_exe, td_out, work + "/index"],
-                       input=td_in, capture_output=True, timeout=300)
-    assert r.returncode == 0, r.stderr[-300:]
-    td_lines = open(td_out).read().splitlines()
-    assert td_lines[0] == f"SIZE {len(our_terms)}", (
-        td_lines[0], len(our_terms))
-    assert len(td_lines) == len(our_terms) + 1
-    for t, line in zip(our_terms, td_lines[1:]):
-        assert int(line) == len(shard.postings[t][0]), (
-            t, line, len(shard.postings[t][0]))
-
-    queries = list(QUERY_SET) + _extra_queries()
     env = {**os.environ, "MITHRIL_CONF_DIR": f"{REF}/ranking/config"}
     out_path = work + "/answers.txt"
     r = subprocess.run(
         [query_exe, out_path, work + "/index"],
         input=("\n".join(queries) + "\n").encode(),
-        env=env, capture_output=True, timeout=600,
+        env=env, capture_output=True, timeout=1200,
     )
     assert r.returncode == 0, r.stderr[-400:]
     lines = open(out_path).read().splitlines()
@@ -296,20 +254,95 @@ def test_reference_index_and_query_end_to_end(ref_stack, tmp_path_factory):
         lim = clean_limit(q)
         assert lim is not None, (
             q, "results differ but no cursor defect applies")
-        # exact positional equality on the clean prefix of both lists
         ours_clean = [t for t in ours if t[0] < lim]
         ref_clean = [t for t in ref if t[0] < lim]
-        assert ours_clean == ref_clean, (q, lim, ours_clean[:3], ref_clean[:3])
-        # every diverging doc is at/above the defect horizon
+        if len(ours) < TOP_K and len(ref) < TOP_K:
+            # unsaturated lists admit every match: the clean prefixes must
+            # be positionally identical
+            assert ours_clean == ref_clean, (
+                q, lim, ours_clean[:3], ref_clean[:3])
+        else:
+            # a SATURATED top-50 can crowd a clean doc out behind
+            # corrupt-eligible (>= lim) competitors whose scores differ
+            # between the stacks — seen at 400-doc fuzz scale, where the
+            # uint32 wrap packs the list. Common clean docs must still
+            # agree exactly and in relative order.
+            common = {t[0] for t in ours_clean} & {t[0] for t in ref_clean}
+            assert [t for t in ours_clean if t[0] in common] == \
+                   [t for t in ref_clean if t[0] in common], (q, lim)
+        # every diverging doc is at/above the defect horizon — or a clean
+        # doc crowded out of the OTHER, saturated, list by docs above it
         od, rd = dict((d, (s, u)) for d, s, u in ours), dict(
             (d, (s, u)) for d, s, u in ref)
         for d in set(od) | set(rd):
             if od.get(d) != rd.get(d):
-                assert d >= lim, (q, d, od.get(d), rd.get(d), lim)
+                if d < lim:
+                    assert (d in od) != (d in rd), (q, d)  # common handled above
+                    crowded = ref if d in od else ours
+                    assert len(crowded) >= TOP_K, (q, d, lim)
                 explained += 1
     # the comparison must be substantive, not vacuously tolerant
-    assert fully_identical >= len(queries) // 2, fully_identical
+    assert fully_identical >= int(len(queries) * min_identical_frac), (
+        fully_identical, len(queries))
     assert explained > 0  # the defect model is exercised, not dead code
+    return fully_identical, explained
+
+
+def test_reference_index_and_query_end_to_end(ref_stack, tmp_path_factory):
+    from mithril_spark.fixtures import QUERY_SET, generate_pages
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.query.shard import evaluate_query
+    from mithril_spark.ranking import tokenify_query
+    from mithril_spark.text.docproc import process_page
+    from mithril_spark.text.normalize import STOPWORDS
+
+    builder, query_exe, termdict_exe = ref_stack
+    work = str(tmp_path_factory.mktemp("e2e"))
+    pages = generate_pages(150, seed=42)
+    docs = sorted(
+        (d for d in (process_page(p["url"].encode(), p["html"])
+                     for p in pages) if d is not None),
+        key=lambda d: d.url,
+    )
+    _write_reference_corpus(docs, work + "/crawl")
+    r = subprocess.run(
+        [builder, work + "/crawl", f"--output={work}/index", "--force",
+         "--quiet"],
+        capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+
+    # same docid policy by construction: url-sorted dense ids
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages], num_shards=1
+    )
+    shard = oracle.shards[0]
+    assert shard.doc_count == len(docs)
+
+    # FULL dictionary equality: the reference's term dictionary and ours
+    # are the same mapping — equal size, and every one of our terms is
+    # present with an equal df (injection + equal cardinality = identity).
+    # This gates tokenization/decoration/df-counting across the WHOLE
+    # index, not just queried terms.
+    our_terms = sorted(shard.postings)
+    td_in = b"".join(
+        b"%d\n%s\n" % (len(t.encode("latin-1")), t.encode("latin-1"))
+        for t in our_terms
+    )
+    td_out = work + "/termdict.txt"
+    r = subprocess.run([termdict_exe, td_out, work + "/index"],
+                       input=td_in, capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-300:]
+    td_lines = open(td_out).read().splitlines()
+    assert td_lines[0] == f"SIZE {len(our_terms)}", (
+        td_lines[0], len(our_terms))
+    assert len(td_lines) == len(our_terms) + 1
+    for t, line in zip(our_terms, td_lines[1:]):
+        assert int(line) == len(shard.postings[t][0]), (
+            t, line, len(shard.postings[t][0]))
+
+    queries = list(QUERY_SET) + _extra_queries()
+    _differential_compare(query_exe, work, oracle, queries)
 
 
 def test_reference_multi_worker_merge_end_to_end(ref_stack, tmp_path_factory):
@@ -400,3 +433,45 @@ def test_reference_multi_worker_merge_end_to_end(ref_stack, tmp_path_factory):
         assert ours == ref, (q, ours[:3], ref[:3])
         compared += 1
     assert compared >= len(queries) // 3, compared
+
+
+@pytest.mark.slow
+def test_reference_e2e_fuzz_scale(ref_stack, tmp_path_factory):
+    """The 400-doc / 200-query differential (previously an offline run
+    mentioned in README — VERDICT r03 #7), landed as a reproducible,
+    deselected-by-default runner: the same defect-horizon-exact instrument
+    as test_reference_index_and_query_end_to_end at ~3x corpus and ~4x
+    query-fuzz volume and a fresh fuzz seed.
+
+        python -m pytest tests/test_cpp_e2e.py -m slow -q
+    """
+    from mithril_spark.fixtures import QUERY_SET, generate_pages
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.text.docproc import process_page
+
+    builder, query_exe, _termdict = ref_stack
+    work = str(tmp_path_factory.mktemp("e2e_fuzz"))
+    pages = generate_pages(400, seed=42)
+    docs = sorted(
+        (d for d in (process_page(p["url"].encode(), p["html"])
+                     for p in pages) if d is not None),
+        key=lambda d: d.url,
+    )
+    _write_reference_corpus(docs, work + "/crawl")
+    r = subprocess.run(
+        [builder, work + "/crawl", f"--output={work}/index", "--force",
+         "--quiet"],
+        capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages], num_shards=1
+    )
+    queries = list(QUERY_SET) + _extra_queries(
+        n=200 - len(QUERY_SET), seed=4242)
+    assert len(queries) == 200
+    # the byte-layout cursor defects bite more queries at 400 docs (longer
+    # posting regions exhaust more often), so fewer queries are fully
+    # identical than at 150 — but every divergence must still be explained
+    _differential_compare(query_exe, work, oracle, queries,
+                          min_identical_frac=0.4)

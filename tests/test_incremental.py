@@ -57,8 +57,8 @@ def test_two_increments_equal_full_rebuild(spark, tmp_path_factory, shards):
     inc_dir = str(tmp_path_factory.mktemp(f"inc_inc_{shards}") / "i")
     shutil.rmtree(inc_dir, ignore_errors=True)
     build_index(pages_to_df(spark, p1), inc_dir, num_shards=shards)
-    merge_index_delta(inc_dir, pages_to_df(spark, p2))
-    merge_index_delta(inc_dir, pages_to_df(spark, p3))
+    merge_index_delta(inc_dir, pages_to_df(spark, p2), mode="recompact")
+    merge_index_delta(inc_dir, pages_to_df(spark, p3), mode="recompact")
 
     _assert_same_index(spark, full_dir, inc_dir)
 
@@ -105,7 +105,8 @@ def test_streaming_ingest_feeds_incremental_merge(spark, tmp_path_factory):
     q = stream_extract_pages(spark, pages_dir, extracted_dir, ckpt)
     q.awaitTermination(120)
 
-    merge_index_delta(inc_dir, extracted=spark.read.parquet(extracted_dir))
+    merge_index_delta(inc_dir, extracted=spark.read.parquet(extracted_dir),
+                      mode="recompact")
     _assert_same_index(spark, full_dir, inc_dir)
 
 
