@@ -45,6 +45,22 @@ def test_cogroup_path_rank_identity(spark, corpus, oracle_pages,
         assert engine.top_k(q) == oracle.top_k(q), (shards, q)
 
 
+@pytest.mark.parametrize("shards", [1, 3])
+def test_distributed_collect_path_rank_identity(spark, corpus, oracle_pages,
+                                                tmp_path_factory, shards):
+    """driver_serve_bytes=0 disables the resident fast path: the payload
+    collect + worker-image mapInPandas path (the at-scale default) must
+    stay rank-identical to the oracle."""
+    from mithril_spark.engine import SearchEngine
+
+    path = _index(spark, corpus, tmp_path_factory, shards)
+    engine = SearchEngine(spark, path, driver_serve_bytes=0)
+    assert engine._driver_images is None and engine._driver_store is None
+    oracle = OracleIndex.build(oracle_pages, num_shards=shards)
+    for q in QUERY_SET:
+        assert engine.top_k(q) == oracle.top_k(q), (shards, q)
+
+
 def test_cogroup_matches_and_wand_agree_with_driver_path(
     spark, corpus, oracle_pages, tmp_path_factory
 ):
