@@ -194,6 +194,23 @@ DEFAULT_MAX_PAYLOAD_ROWS = 1_000_000
 DRIVER_IMAGE_BYTES = 256 << 20
 
 
+def _doc_text_dirs(index_dir: str) -> list[str]:
+    """doc_text sidecar generations in age order (base, then append-merge
+    deltas) — read them all, latest entry per url wins."""
+    out = []
+    base = os.path.join(index_dir, "doc_text")
+    if os.path.exists(os.path.join(base, "_SUCCESS")):
+        out.append(base)
+        out.extend(
+            os.path.join(index_dir, d)
+            for d in sorted(
+                e.name for e in os.scandir(index_dir)
+                if e.is_dir() and e.name.startswith("doc_text_delta_")
+            )
+        )
+    return out
+
+
 def _dir_parquet_bytes(path: str) -> int:
     total = 0
     for r, _dirs, files in os.walk(path):
@@ -340,6 +357,25 @@ class SearchEngine:
             )
             if idx_bytes <= driver_serve_bytes:
                 self._driver_store = _load_term_store(index_dir)
+        # Append-merge tombstones (indexer.py): sorted dead local docids
+        # per shard, filtered out of every decoded posting/position stream
+        # at shard build. Absent (empty dict) on any index without
+        # replacement appends. Loaded driver-side and shipped in the task
+        # closure — K dead docs is tiny by construction (compaction is
+        # overdue long before it isn't).
+        self._tombstones: dict[int, "np.ndarray"] = {}
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        if os.path.isdir(tomb_dir) and _dir_parquet_bytes(tomb_dir):
+            import pyarrow.parquet as pq
+
+            td = pq.read_table(tomb_dir).to_pydict()
+            by_shard: dict[int, list] = {}
+            for s, lid in zip(td["shard"], td["local_id"]):
+                by_shard.setdefault(int(s), []).append(int(lid))
+            self._tombstones = {
+                s: np.unique(np.asarray(v, dtype=np.int64))
+                for s, v in by_shard.items()
+            }
         # WAND soundness across append-mode segments (indexer.py): blocks
         # encoded before a shard's avg body length grew carry a too-small
         # max_tfn bound; scale bounds up by avg_now/min_enc. Exactly 1.0
@@ -598,6 +634,7 @@ class SearchEngine:
         qlist = list(queries)
         prw = self.pagerank_weight
         want_positions = with_positions
+        tombs = self._tombstones
 
         def shard_fn(shard_id, payload, docmap_img):
             from .codec import pack_words
@@ -611,6 +648,7 @@ class SearchEngine:
                 shard = _build_shard(
                     shard_id, shard_size, st, payload,
                     docmap_img, pagerank_weight=prw,
+                    tombstones=tombs.get(shard_id),
                 )
                 for qi, q in enumerate(qlist):
                     matches = evaluate_query(q, shard)
@@ -695,6 +733,7 @@ class SearchEngine:
         stats = self.stats
         shard_size = self.meta["shard_size"]
         tfn_scales = self._tfn_scale
+        tombs = self._tombstones
 
         def shard_fn(shard_id, pl, docmap_img):
             from .query.wand import bm25_wand_topk
@@ -728,6 +767,11 @@ class SearchEngine:
                 for d, s in bm25_wand_topk(
                     term_blocks, body_lens, st["doc_count"], avg, k,
                     stats=wstats,
+                    # exact term_dict dfs + dead filtering keep WAND
+                    # scoring exact over append-merged (tombstoned)
+                    # segments; both are identity on a clean index
+                    dfs=dict(pl.get("D") or []) or None,
+                    tombstones=tombs.get(shard_id),
                 ):
                     shards_out.append(shard_id)
                     docs_out.append(d + base)
@@ -739,7 +783,7 @@ class SearchEngine:
             )
 
         rows = self._execute(
-            terms, set(), set(), shard_fn,
+            terms, set(), terms, shard_fn,
             "shard int, doc_id long, score double, wstats string",
         )
         merged = sorted(
@@ -788,20 +832,8 @@ class SearchEngine:
             .collect()
         )
         meta_by_id = {int(r["doc_id"]): r for r in dm}
-        sidecar = os.path.join(self.index_dir, "doc_text")
-        if os.path.exists(os.path.join(sidecar, "_SUCCESS")):
-            stage = self.spark.read.parquet(sidecar)
-        else:
-            stage = self.spark.read.parquet(
-                os.path.join(self.index_dir, "stage_raw")
-            )
-        has_desc = "desc" in stage.columns
-        cols = ["url", "title", "text"] + (["desc"] if has_desc else [])
         urls = [bytes(meta_by_id[d]["url"]) for d in ids if d in meta_by_id]
-        by_url = {
-            bytes(r["url"]): r
-            for r in stage.filter(F.col("url").isin(urls)).select(*cols).collect()
-        }
+        by_url = self._fetch_doc_rows(urls)
         qterms = [
             t for t in (
                 normalize(tok.encode("utf-8"), BODY).decode("latin-1")
@@ -823,7 +855,7 @@ class SearchEngine:
             text = combined_text(
                 [t.decode("latin-1") for t in title],
                 bytes(row["desc"]).decode("latin-1")
-                if has_desc and row["desc"] is not None else "",
+                if row["desc"] is not None else "",
                 bytes(row["text"]).decode("latin-1"),
             )
             out.append((
@@ -856,22 +888,10 @@ class SearchEngine:
         results = self.top_k_many([query], with_positions=True)[0]
         if not results:
             return []
-        from pyspark.sql import functions as F
-
         from .snippets import combined_text, generate_snippet
 
-        sidecar = os.path.join(self.index_dir, "doc_text")
-        if os.path.exists(os.path.join(sidecar, "_SUCCESS")):
-            stage = self.spark.read.parquet(sidecar)
-        else:
-            stage = self.spark.read.parquet(
-                os.path.join(self.index_dir, "stage_raw")
-            )
-        has_desc = "desc" in stage.columns  # absent in pre-r2 indexes
-        cols = ["url", "title", "text"] + (["desc"] if has_desc else [])
         urls = [url for _d, _s, url, _t, _p in results]
-        rows = stage.filter(F.col("url").isin(urls)).select(*cols).collect()
-        by_url = {bytes(r["url"]): r for r in rows}
+        by_url = self._fetch_doc_rows(urls)
         _pt, _xt, tokens = plan_terms(query)
         qterms = [t for t, _m in tokens]
         out = []
@@ -883,7 +903,7 @@ class SearchEngine:
             text = combined_text(
                 [bytes(t).decode("latin-1") for t in (row["title"] or [])],
                 bytes(row["desc"]).decode("latin-1")
-                if has_desc and row["desc"] is not None else "",
+                if row["desc"] is not None else "",
                 bytes(row["text"]).decode("latin-1"),
             )
             out.append((
@@ -892,12 +912,38 @@ class SearchEngine:
             ))
         return out
 
+    def _fetch_doc_rows(self, urls) -> dict[bytes, dict]:
+        """url -> {title, desc, text} from the doc_text sidecar, resolving
+        append-merge generations LATEST-WINS (a re-crawled url has rows in
+        both the base sidecar and a later ``doc_text_delta_*`` dir; each
+        read is its own pruned IN-list scan, and later generations simply
+        overwrite earlier entries in the tiny per-query dict — the LSM
+        read path, folded away by compact_index). Pre-sidecar indexes fall
+        back to stage_raw."""
+        from pyspark.sql import functions as F
+
+        dirs = _doc_text_dirs(self.index_dir)
+        if not dirs:
+            dirs = [os.path.join(self.index_dir, "stage_raw")]
+        by_url: dict[bytes, dict] = {}
+        for dpath in dirs:
+            df = self.spark.read.parquet(dpath)
+            cols = ["url", "title", "text"] + (
+                ["desc"] if "desc" in df.columns else [])
+            for r in df.filter(F.col("url").isin(urls)).select(*cols).collect():
+                by_url[bytes(r["url"])] = {
+                    "title": r["title"], "text": r["text"],
+                    "desc": r["desc"] if "desc" in cols else None,
+                }
+        return by_url
+
     def matches(self, query: str) -> list[int]:
         """Global ascending matched docids (diagnostic / tests)."""
         posting_terms, position_terms, _ = plan_terms(query)
         stats = self.stats
         shard_size = self.meta["shard_size"]
         qstr = query
+        tombs = self._tombstones
 
         def shard_fn(shard_id, payload, docmap_img):
             out: list[int] = []
@@ -906,10 +952,17 @@ class SearchEngine:
                 shard = _build_shard(
                     shard_id, shard_size, st,
                     payload, docmap_img,
+                    tombstones=tombs.get(shard_id),
                 )
-                out.extend(
-                    m + shard.base_doc_id for m in evaluate_query(qstr, shard)
-                )
+                ms = evaluate_query(qstr, shard)
+                if shard.tombstones is not None and len(ms):
+                    # a NOT complement over the holey docid space yields
+                    # dead locals; top_k drops them at the doc-map lookup,
+                    # matches() must drop them here
+                    marr = np.asarray(ms, dtype=np.int64)
+                    ms = marr[~np.isin(marr, shard.tombstones,
+                                       assume_unique=True)]
+                out.extend(m + shard.base_doc_id for m in ms)
             return pd.DataFrame({"doc_id": out})
 
         rows = self._execute(
@@ -941,14 +994,24 @@ def _build_shard(
     payload: dict | None,
     docmap: dict,
     pagerank_weight: float = 0.0,
+    tombstones: "np.ndarray | None" = None,
 ) -> ShardIndex:
     """Decode the query's blocks + the shard doc-map image into a ShardIndex.
 
     Ranking-token document frequencies ride along in ``payload["D"]``
     (term_dict rows for this shard) — GetDocumentFrequencies,
-    Ranker.cpp:46-64."""
+    Ranker.cpp:46-64.
+
+    ``tombstones`` (sorted dead local docids from an append-mode merge
+    with replacements, indexer.py) are filtered out of every decoded
+    posting/position stream, so the walk — and ``doc_freq`` via
+    materialized-list length — sees only live docs; the NOT complement
+    runs over ``docid_space`` (max live local + 1) and any dead docids it
+    yields die at the doc-map lookup, which no longer contains them."""
     from .codec import decode_position_block, decode_posting_block
 
+    if tombstones is not None and not len(tombstones):
+        tombstones = None
     shard = ShardIndex(
         doc_count=st["doc_count"],
         base_doc_id=shard_id * shard_size,
@@ -957,6 +1020,7 @@ def _build_shard(
         total_url_length=st["total_url"],
         total_desc_length=st["total_desc"],
         pagerank_weight=pagerank_weight,
+        tombstones=tombstones,
     )
     if payload:
         for term, df in payload.get("D", []):
@@ -979,6 +1043,9 @@ def _build_shard(
             parts = [decode_posting_block(de, fe) for _s, _f, de, fe in blocks]
             docs = np.concatenate([p[0] for p in parts]).astype(np.int64)
             freqs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+            if tombstones is not None:
+                keep = ~np.isin(docs, tombstones, assume_unique=True)
+                docs, freqs = docs[keep], freqs[keep]
             shard.postings[term] = (docs, freqs)
         by_term = {}
         for term, salt, fd, de, fe, ce, pe in payload["X"]:
@@ -991,6 +1058,16 @@ def _build_shard(
                 dparts.append(d)
                 flparts.append(fl)
                 plists.extend(pl)
+            if tombstones is not None:
+                dall = np.concatenate(dparts)
+                keep = ~np.isin(dall, tombstones, assume_unique=True)
+                flall = np.concatenate(flparts)
+                shard.positions[term] = (
+                    dall[keep].astype(np.int64),
+                    flall[keep].astype(np.int64),
+                    [p for p, k in zip(plists, keep.tolist()) if k],
+                )
+                continue
             shard.positions[term] = (
                 np.concatenate(dparts).astype(np.int64),
                 np.concatenate(flparts).astype(np.int64),
@@ -999,6 +1076,9 @@ def _build_shard(
 
     if isinstance(docmap, dict) and docmap.get("v") == 2:
         shard.doc_cols = _docmap_cols(docmap)
+        lids = docmap["local_ids"]
+        # == doc_count on a clean index; > it when tombstoned holes exist
+        shard.docid_space = int(lids[-1]) + 1 if len(lids) else 0
         return shard
     # legacy (pre-r3) dict-of-tuples image keyed by GLOBAL doc id
     base = shard.base_doc_id
@@ -1011,4 +1091,6 @@ def _build_shard(
             pagerank=pagerank,
             static_rank=ent[7] if len(ent) > 7 else None,
         )
+    if shard.doc_map:
+        shard.docid_space = max(shard.doc_map) + 1
     return shard

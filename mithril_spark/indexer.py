@@ -634,6 +634,15 @@ def _build_derived(
         os.path.join(out_dir, "doc_text"),
         force=force,
     )
+    if force:
+        # a full (re)build folds away the append-merge LSM state: every
+        # derived table is now dead-free and the sidecar is one generation
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "tombstones"),
+                      ignore_errors=True)
+        for g in _doc_text_generations(out_dir):
+            shutil.rmtree(os.path.join(out_dir, g), ignore_errors=True)
     m["finished"] = time.time() - t_start
 
     # --- Phase 5: term dictionary (df / cf per shard) ---
@@ -793,28 +802,31 @@ def merge_index_delta(
 
     * ``"append"`` — the 100-TB path (VERDICT r03 #4). Delta docs get
       docids appended after the existing corpus (url-ranked within the
-      delta), which fills the tail of the last shard and spills into new
-      serving shards; their posting/position blocks are encoded from the
-      delta alone and the files land next to the existing ones (blocks of
-      one (term, shard) never overlap in docid, so serving just orders by
-      first_doc_id). term_dict/stats are dictionary-sized rewrites;
-      doc_map/doc_ids/doc_text are row appends. A 1% delta shuffles and
-      writes O(delta) posting/position bytes, not O(corpus) — the
-      ``postings``/``positions`` phase metrics record ``appended_bytes``
-      next to the pre-merge ``table_bytes_before`` so the bound is
-      checkable (tests/test_incremental.py). Requires a delta of NEW urls
-      only and no pagerank refresh.
+      delta, from the never-decreasing ``docid_watermark``), which fills
+      the tail of the last shard and spills into new serving shards;
+      their posting/position blocks are encoded from the delta alone and
+      the files land next to the existing ones (blocks of one
+      (term, shard) never overlap in docid, so serving just orders by
+      first_doc_id). RE-CRAWLED urls are handled as LSM deletes: the old
+      docid is tombstoned, stale posting rows stay on disk and serving
+      filters them at decode; the slim exact tables (doc_ids, doc_map,
+      stats, term_dict) are rewritten dead-free and doc_text gains a
+      latest-wins generation dir. A 1% delta shuffles and writes O(delta)
+      posting/position bytes, not O(corpus) — the ``postings``/
+      ``positions`` phase metrics record ``appended_bytes`` next to the
+      pre-merge ``table_bytes_before`` so the bound is checkable
+      (tests/test_append_merge.py).
     * ``"recompact"`` — the exact-layout path: derived tables are rebuilt
       from the resolved stage. Under the dense-url-rank docid policy
       (oracle.py) a new url shifts every rank behind it, so this is the
       mode that keeps the merged index byte-identical to a from-scratch
       build over the union corpus (tests/test_incremental.py gates two
-      increments at 1/2/3 shards). Re-crawled urls are replaced, matching
-      dedupe_pages semantics (latest generation wins).
-    * ``"auto"`` (default) — ``"append"`` when the delta touches no
-      existing url and no pagerank refresh was requested, else
-      ``"recompact"``. ``compact_index`` folds an appended index back to
-      the canonical dense layout (byte-identical to a fresh build).
+      increments at 1/2/3 shards).
+    * ``"auto"`` (default) — ``"append"`` unless a pagerank refresh was
+      requested (the graph is global, so it recompacts).
+      ``compact_index`` folds an appended index back to the canonical
+      dense layout (byte-identical to a fresh build), clearing tombstones
+      and sidecar generations.
 
     The reference's builder is batch-only (index/src/main.cpp); this is the
     "crawler keeps writing" continuation of streaming.stream_extract_pages:
@@ -846,6 +858,13 @@ def merge_index_delta(
         if "html" in new_pages.columns:
             new_pages = dedupe_pages(new_pages)
         delta_rows = extract_docs(new_pages)
+    if mode == "auto":
+        # append handles both new urls and re-crawls (tombstones); only a
+        # pagerank refresh forces the full recompaction
+        mode = "recompact" if pagerank else "append"
+    # constructed BEFORE the new generation lands, so this lazy view
+    # resolves to the PRE-merge corpus (generation list is captured here)
+    old_stage = read_stage(spark, index_dir) if mode == "append" else None
     n_existing = len(_stage_generations(index_dir))
     delta_path = os.path.join(index_dir, f"stage_delta_{n_existing:05d}")
     _write_once(delta_rows, delta_path, force=True)
@@ -853,24 +872,10 @@ def merge_index_delta(
     m["ran"] = True
     m["finished"] = time.time() - t_start
 
-    if mode == "auto":
-        if pagerank:
-            mode = "recompact"
-        else:
-            # append-eligible iff no delta url is already indexed; the ids
-            # table is the slim (url, doc_id) probe — AQE broadcasts the
-            # (small) delta url set, one pruned scan decides
-            overlap = (
-                spark.read.parquet(os.path.join(index_dir, "doc_ids"))
-                .join(delta_rows.select("url").distinct(), "url")
-                .limit(1)
-                .count()
-            )
-            mode = "recompact" if overlap else "append"
-
     if mode == "append":
         return _append_delta_derived(
             spark, delta_rows, index_dir, meta,
+            old_stage=old_stage,
             sort_partitions=sort_partitions,
             metrics=metrics, phase=phase, t_start=t_start,
         )
@@ -926,12 +931,21 @@ def _swap_dir(tmp: str, final: str) -> None:
     os.rename(tmp, final)
 
 
+def _doc_text_generations(index_dir: str) -> list[str]:
+    """doc_text_delta_* generation dirs (append merges), age order."""
+    return sorted(
+        e.name for e in os.scandir(index_dir)
+        if e.is_dir() and e.name.startswith("doc_text_delta_")
+    )
+
+
 def _append_delta_derived(
     spark: SparkSession,
     delta: DataFrame,
     out_dir: str,
     meta: dict,
     *,
+    old_stage: DataFrame,
     sort_partitions: int,
     metrics: list,
     phase,
@@ -939,16 +953,28 @@ def _append_delta_derived(
 ) -> dict:
     """Append-mode incremental merge: O(delta) posting/position work.
 
-    Delta docs are url-ranked AFTER the existing corpus, so with the
-    original ``shard_size`` kept fixed the dense-docid identities
-    (``global = shard*shard_size + local``, salt = local // SALT_RANGE,
-    per-shard local ids dense from 0) all still hold: the delta fills the
-    tail of the last shard and spills into brand-new serving shards — the
-    segment growth pattern of a log-structured index, with
-    ``compact_index`` as the periodic fold back to the canonical layout.
-    Blocks of one (term, shard) never overlap in docid between segments,
-    so serving only needs to order a term's blocks by ``first_doc_id``
-    (engine._build_shard / _payload_blocks).
+    Delta docs are url-ranked AFTER the existing corpus (from the
+    ``docid_watermark``, which never decreases), so with the original
+    ``shard_size`` kept fixed the dense-docid identities
+    (``global = shard*shard_size + local``, salt = local // SALT_RANGE)
+    all still hold: the delta fills the tail of the last shard and spills
+    into brand-new serving shards — the segment growth pattern of a
+    log-structured index, with ``compact_index`` as the periodic fold
+    back to the canonical layout. Blocks of one (term, shard) never
+    overlap in docid between segments, so serving only needs to order a
+    term's blocks by ``first_doc_id`` (engine._build_shard /
+    _payload_blocks).
+
+    RE-CRAWLED urls (LSM deletes): the old docid is TOMBSTONED — its
+    stale posting/position rows stay on disk and serving filters them at
+    block decode (engine._build_shard, query/wand.py), exactly like LSM
+    deletes resolved at read and reclaimed by compaction. The slim exact
+    tables (doc_ids, doc_map, stats, term_dict) are rewritten dead-free —
+    term_dict subtracts the dead docs' per-(term, shard) df/cf computed
+    from their OLD stage rows — so document frequencies, corpus stats and
+    ranking stay exact; only the bulky postings/positions are left
+    append-only. The doc_text sidecar gains a generation dir per merge,
+    resolved latest-wins at snippet fetch (engine._fetch_doc_rows).
 
     WAND soundness across segments: blocks bake in a max-normalized-tf
     bound computed with the avg body length AT ENCODE TIME; if the corpus
@@ -960,6 +986,7 @@ def _append_delta_derived(
     shard_size = int(meta["shard_size"])
     num_buckets = int(meta["num_buckets"])
     total_docs = int(meta["total_docs"])
+    watermark = int(meta.get("docid_watermark", total_docs))
 
     # intra-delta url dedupe with read_stage's tie rule (max md5(text)) so a
     # later recompaction resolves to the same rows
@@ -995,7 +1022,7 @@ def _append_delta_derived(
         return {"meta": meta, "phases": metrics,
                 "wall_s": time.time() - t_start, "mode": "append"}
     offsets = {}
-    acc = total_docs
+    acc = watermark
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
@@ -1035,7 +1062,28 @@ def _append_delta_derived(
 
     docs = delta.join(F.broadcast(ids_delta), "url")
 
-    # --- doc_map: row append; stats: exact recompute from the slim doc_map ---
+    # --- re-crawled urls: tombstone the OLD docids (LSM delete) ---
+    m = phase("tombstones")
+    ids_path = os.path.join(out_dir, "doc_ids")
+    replaced = (
+        spark.read.parquet(ids_path)
+        .join(F.broadcast(delta.select("url")), "url")
+        .select("url", "doc_id", "shard", "local_id")
+    )
+    replaced_rows = replaced.collect()
+    n_replaced = len(replaced_rows)
+    dead_gids = [int(r["doc_id"]) for r in replaced_rows]
+    m["replaced_docs"] = n_replaced
+    if n_replaced:
+        spark.createDataFrame(
+            [(int(r["shard"]), int(r["local_id"])) for r in replaced_rows],
+            "shard int, local_id long",
+        ).coalesce(1).write.mode("append").parquet(
+            os.path.join(out_dir, "tombstones"))
+    m["finished"] = time.time() - t_start
+
+    # --- doc_map: row append (pure growth) or dead-free rewrite (slim);
+    # stats: exact recompute from the resulting doc_map ---
     m = phase("doc_map_delta")
     doc_map_delta = docs.select(
         "shard", "doc_id", "local_id", "url", "title",
@@ -1043,7 +1091,20 @@ def _append_delta_derived(
         F.lit(0.0).cast("float").alias("pagerank"),
     )
     doc_map_path = os.path.join(out_dir, "doc_map")
-    doc_map_delta.write.mode("append").partitionBy("shard").parquet(doc_map_path)
+    if n_replaced:
+        dm_tmp = os.path.join(out_dir, "_doc_map_new")
+        (
+            spark.read.parquet(doc_map_path)
+            .filter(~F.col("doc_id").isin(dead_gids))
+            .select(*doc_map_delta.columns)
+            .unionByName(doc_map_delta)
+            .repartition("shard")
+            .write.mode("overwrite").partitionBy("shard").parquet(dm_tmp)
+        )
+        _swap_dir(dm_tmp, doc_map_path)
+    else:
+        doc_map_delta.write.mode("append").partitionBy("shard").parquet(
+            doc_map_path)
     stats_tmp = os.path.join(out_dir, "_index_stats_new")
     (
         spark.read.parquet(doc_map_path)
@@ -1091,17 +1152,42 @@ def _append_delta_derived(
         F.sum(F.length("doc_ids_enc") + F.length("freqs_enc")).alias("bytes"),
     ).collect()[0]
     # dictionary-sized rewrite: union old rows with the delta's df/cf and
-    # re-aggregate — O(|dictionary| + |delta terms|), no posting decode
+    # re-aggregate — O(|dictionary| + |delta terms|), no posting decode.
+    # Tombstoned docs SUBTRACT their per-(term, shard) df/cf, computed
+    # from their old stage rows (the only place their term lists live) —
+    # rows netting to df 0 drop out, exactly as a fresh build would
     term_tmp = os.path.join(out_dir, "_term_dict_new")
     delta_term = delta_post.groupBy("term", "shard", "bucket").agg(
         F.sum("doc_count").alias("df"), F.sum("freq_sum").alias("cf")
     )
+    if n_replaced:
+        dead_map = spark.createDataFrame(
+            [(bytes(r["url"]), int(r["shard"])) for r in replaced_rows],
+            "url binary, shard int",
+        )
+        dead_term = (
+            old_stage.join(F.broadcast(dead_map), "url")
+            .select("shard", F.explode(F.arrays_zip("terms", "freqs")).alias("t"))
+            .select("shard", F.col("t.terms").alias("term"),
+                    F.col("t.freqs").alias("freq"))
+            .groupBy("term", "shard")
+            .agg((-F.count("*")).alias("df"),
+                 (-F.sum("freq")).alias("cf"))
+            .withColumn(
+                "bucket",
+                F.crc32(F.encode(F.col("term"), "ISO-8859-1"))
+                % F.lit(num_buckets),
+            )
+            .select("term", "shard", "bucket", "df", "cf")
+        )
+        delta_term = delta_term.unionByName(dead_term)
     (
         spark.read.parquet(os.path.join(out_dir, "term_dict"))
         .select("term", "shard", "bucket", "df", "cf")
         .unionByName(delta_term)
         .groupBy("term", "shard", "bucket")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .filter(F.col("df") > 0)
         .write.mode("overwrite").partitionBy("bucket").parquet(term_tmp)
     )
     _swap_dir(term_tmp, os.path.join(out_dir, "term_dict"))
@@ -1133,17 +1219,19 @@ def _append_delta_derived(
     m["ran"] = True
     m["finished"] = time.time() - t_start
 
-    # --- doc_text: url-sorted row append (each delta file carries its own
-    # url min/max, so snippet IN-list pruning keeps working per file) ---
+    # --- doc_text: url-sorted GENERATION dir (snippet fetch reads all
+    # generations latest-wins, so a re-crawled url's new text shadows the
+    # base sidecar row; each file carries its own url min/max for IN-list
+    # pruning; compact_index folds the generations away) ---
     m = phase("doc_text")
-    text_tmp = os.path.join(out_dir, "_doc_text_delta")
+    n_gen = len(_doc_text_generations(out_dir))
+    text_gen = os.path.join(out_dir, f"doc_text_delta_{n_gen:05d}")
     (
         delta.select("url", "title", "desc", "text")
         .repartitionByRange(sort_partitions, "url")
         .sortWithinPartitions("url")
-        .write.mode("overwrite").parquet(text_tmp)
+        .write.mode("overwrite").parquet(text_gen)
     )
-    _adopt_parquet_files(text_tmp, os.path.join(out_dir, "doc_text"))
     m["ran"] = True
     m["finished"] = time.time() - t_start
 
@@ -1164,15 +1252,29 @@ def _append_delta_derived(
         int(r["shard"])
         for r in ids_delta.select("shard").distinct().collect()
     }
-    # all consumers of the delta ids have executed — fold the files into
-    # the live doc_ids table and bump the assignment watermark
+    # all consumers of the delta ids have executed — fold the new ids into
+    # the live doc_ids table (pure append, or dead-free rewrite when urls
+    # were replaced) and bump the assignment watermark
     import shutil
 
-    _adopt_parquet_files(ids_tmp, os.path.join(out_dir, "doc_ids"))
+    if n_replaced:
+        ids_new = os.path.join(out_dir, "_doc_ids_new")
+        (
+            spark.read.parquet(ids_path)
+            .filter(~F.col("doc_id").isin(dead_gids))
+            .unionByName(ids_delta)
+            .write.mode("overwrite").parquet(ids_new)
+        )
+        _swap_dir(ids_new, ids_path)
+        shutil.rmtree(ids_tmp, ignore_errors=True)
+    else:
+        _adopt_parquet_files(ids_tmp, ids_path)
     shutil.rmtree(ids_stage, ignore_errors=True)
+    new_total = total_docs + n_delta - n_replaced
     with open(os.path.join(out_dir, "_assign_meta.json")) as f:
         assign_meta = json.load(f)
-    assign_meta["total_docs"] = total_docs + n_delta
+    assign_meta["total_docs"] = new_total
+    assign_meta["docid_watermark"] = watermark + n_delta
     with open(os.path.join(out_dir, "_assign_meta.json"), "w") as f:
         json.dump(assign_meta, f)
 
@@ -1183,7 +1285,9 @@ def _append_delta_derived(
         min_enc[str(s)] = a if prev is None else min(float(prev), a)
     meta = dict(
         meta,
-        total_docs=total_docs + n_delta,
+        total_docs=new_total,
+        docid_watermark=watermark + n_delta,
+        tombstone_count=int(meta.get("tombstone_count", 0)) + n_replaced,
         num_shards=max(int(meta["num_shards"]),
                        max(touched_shards, default=0) + 1),
         counters=counters,

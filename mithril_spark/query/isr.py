@@ -139,6 +139,14 @@ class ShardIndex:
 
     doc_count: int = 0
     base_doc_id: int = 0
+    # local docid space bound for NOT complements: equals doc_count on a
+    # clean index; after an append-mode merge with replacements the space
+    # is max live local id + 1 (tombstoned holes below it). 0 = doc_count.
+    docid_space: int = 0
+    # sorted dead local docids (append-merge tombstones); posting and
+    # position streams are filtered against it at shard build, this field
+    # only backs the matches() NOT-complement filter
+    tombstones: "np.ndarray | None" = None
     # term -> parallel lists (doc_ids ascending, freqs)
     postings: dict[str, tuple[list[int], list[int]]] = field(default_factory=dict)
     # term -> (doc_ids ascending, flags list, flat positions list)

@@ -89,7 +89,8 @@ def generate_isr(node: g.Node, shard: ShardIndex) -> ISR:
         cls = TermANDISR if isinstance(node, g.AndNode) else TermORISR
         return cls([left, right])
     if isinstance(node, g.NotNode):
-        return NotISR(generate_isr(node.expr, shard), shard.doc_count)
+        return NotISR(generate_isr(node.expr, shard),
+                      shard.docid_space or shard.doc_count)
     if isinstance(node, g.QuoteNode):
         terms = g.extract_quote_terms(node.value)
         return TermQuoteISR(terms, shard)

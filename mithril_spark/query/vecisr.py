@@ -343,5 +343,5 @@ def match_docs(node: g.Node, shard, field_of_token: dict) -> np.ndarray | None:
         return union_sorted(left, right)
     if isinstance(node, g.NotNode):
         child = match_docs(node.expr, shard, field_of_token)
-        return complement_sorted(child, shard.doc_count)
+        return complement_sorted(child, shard.docid_space or shard.doc_count)
     raise ValueError(f"unknown node {node!r}")

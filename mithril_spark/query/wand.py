@@ -30,18 +30,27 @@ _MIN_NORM_BODY_LEN = 0  # norm factor floor (1-b) -> upper bound on tf'
 
 
 class _Cursor:
-    """Lazy block cursor over one term's posting blocks (sorted by doc)."""
+    """Lazy block cursor over one term's posting blocks (sorted by doc).
+
+    ``dead`` (sorted local docids tombstoned by an append-mode merge,
+    indexer.py) are filtered out at block decode: stale postings never
+    reach the candidate walk, and the stored block bounds stay valid
+    upper bounds (dropping docs can only lower the true maximum). ``df``
+    may be overridden with the exact term_dict value — identical to the
+    block sum on a tombstone-free index, and dead-corrected with one."""
 
     __slots__ = ("term", "blocks", "df", "block_idx", "docs", "freqs", "off",
                  "exhausted", "term_ub", "doc_count", "avg_body",
-                 "blocks_decoded")
+                 "blocks_decoded", "dead")
 
-    def __init__(self, term, blocks, doc_count, avg_body):
+    def __init__(self, term, blocks, doc_count, avg_body, df=None, dead=None):
         # blocks: list of dicts with first/last/max_freq/doc_ids_enc/freqs_enc
         self.term = term
         self.blocks_decoded = 0
+        self.dead = dead if dead is not None and len(dead) else None
         self.blocks = sorted(blocks, key=lambda b: b["first_doc_id"])
-        self.df = sum(b["doc_count"] for b in self.blocks)
+        self.df = df if df is not None else sum(
+            b["doc_count"] for b in self.blocks)
         self.doc_count = doc_count
         self.avg_body = avg_body
         self.block_idx = 0
@@ -86,13 +95,24 @@ class _Cursor:
     def _load_block(self, idx: int) -> None:
         from ..codec import decode_posting_block
 
-        blk = self.blocks[idx]
-        d, f = decode_posting_block(blk["doc_ids_enc"], blk["freqs_enc"])
-        self.block_idx = idx
-        self.docs = d
-        self.freqs = f
-        self.off = 0
-        self.blocks_decoded += 1
+        while idx < len(self.blocks):
+            blk = self.blocks[idx]
+            d, f = decode_posting_block(blk["doc_ids_enc"], blk["freqs_enc"])
+            self.blocks_decoded += 1
+            if self.dead is not None and len(d):
+                import numpy as np
+
+                keep = ~np.isin(d, self.dead, assume_unique=True)
+                if not keep.all():
+                    d, f = d[keep], f[keep]
+            self.block_idx = idx
+            self.docs = d
+            self.freqs = f
+            self.off = 0
+            if len(d):
+                return
+            idx += 1  # block fully tombstoned — skip to the next
+        self.exhausted = True
 
     def current_doc(self) -> int:
         return int(self.docs[self.off])
@@ -124,6 +144,8 @@ class _Cursor:
                 self.exhausted = True
                 return
             self._load_block(lo)
+            if self.exhausted:
+                return
         i = bisect_left(self.docs, target, self.off)
         if i >= len(self.docs):
             # target falls in a gap right after this block
@@ -131,6 +153,8 @@ class _Cursor:
                 self.exhausted = True
                 return
             self._load_block(self.block_idx + 1)
+            if self.exhausted:
+                return
             i = bisect_left(self.docs, target)
             if i >= len(self.docs):
                 self.exhausted = True
@@ -159,17 +183,25 @@ def bm25_wand_topk(
     avg_body_length: float,
     k: int = 10,
     stats: dict | None = None,
+    dfs: dict[str, int] | None = None,
+    tombstones=None,
 ) -> list[tuple[int, float]]:
     """Disjunctive block-max WAND top-k; returns [(doc, score)] sorted
     (score desc, doc asc). Exact — identical to exhaustive evaluation.
 
     Pass ``stats`` (a dict) to receive the pruning counters:
     blocks_total / blocks_decoded / blocks_skipped / docs_scored.
+    ``dfs`` (exact per-term document frequencies, e.g. term_dict rows) and
+    ``tombstones`` (sorted dead local docids) make scoring exact over an
+    append-merged index carrying stale postings; both are no-ops on a
+    tombstone-free index.
     """
     if k <= 0:
         return []
     cursors = [
-        _Cursor(t, blocks, doc_count, avg_body_length)
+        _Cursor(t, blocks, doc_count, avg_body_length,
+                df=None if dfs is None else dfs.get(t),
+                dead=tombstones)
         for t, blocks in term_blocks.items()
         if blocks
     ]
@@ -255,21 +287,28 @@ def bm25_exhaustive_topk(
     doc_count: int,
     avg_body_length: float,
     k: int = 10,
+    dfs: dict[str, int] | None = None,
+    tombstones=None,
 ) -> list[tuple[int, float]]:
     """Reference implementation: decode + score everything (for testing)."""
     if k <= 0:
         return []
     from ..codec import decode_posting_block
 
+    dead = set() if tombstones is None else set(int(t) for t in tombstones)
     scores: dict[int, float] = {}
     # same canonical term order as bm25_wand_topk's aligned-scoring loop
-    for _term, blocks in sorted(term_blocks.items()):
-        df = sum(b["doc_count"] for b in blocks)
+    for term, blocks in sorted(term_blocks.items()):
+        df = (dfs or {}).get(term)
+        if df is None:
+            df = sum(b["doc_count"] for b in blocks)
         for blk in blocks:
             docs, freqs = decode_posting_block(
                 blk["doc_ids_enc"], blk["freqs_enc"]
             )
             for d, f in zip(docs.tolist(), freqs.tolist()):
+                if d in dead:
+                    continue
                 scores[d] = scores.get(d, 0.0) + bm25_score(
                     doc_count, avg_body_length, body_lens.get(d, 0), df, f
                 )

@@ -248,8 +248,8 @@ def test_append_writes_o_delta_bytes(spark, tmp_path_factory):
 
 
 def test_auto_mode_selection(spark, tmp_path_factory):
-    """auto: re-crawled url in the delta -> recompact (byte-identity
-    semantics preserved); fresh urls -> append."""
+    """auto: append for any content delta (new urls AND re-crawls, the
+    latter via tombstones); only a pagerank refresh recompacts."""
     pages = generate_pages(40, seed=5)
     inc_dir = str(tmp_path_factory.mktemp("auto_inc") / "i")
     build_index(pages_to_df(spark, pages[:30]), inc_dir, num_shards=2)
@@ -259,7 +259,9 @@ def test_auto_mode_selection(spark, tmp_path_factory):
 
     recrawl = [dict(pages[3], html=pages[7]["html"])] + pages[35:]
     res = merge_index_delta(inc_dir, pages_to_df(spark, recrawl))
-    assert res["mode"] == "recompact"
+    assert res["mode"] == "append"
+    by_phase = {p["phase"]: p for p in res["phases"]}
+    assert by_phase["tombstones"]["replaced_docs"] >= 1
 
     with open(os.path.join(inc_dir, "index_meta.json")) as f:
         meta = json.load(f)
@@ -267,4 +269,116 @@ def test_auto_mode_selection(spark, tmp_path_factory):
     urls = {bytes(r["url"]) for r in rows}
     # replacement, not duplication: every url once, meta agrees
     assert len(rows) == len(urls) == meta["total_docs"]
+    assert meta["docid_watermark"] > meta["total_docs"]
     assert pages[3]["url"].encode() in urls
+
+    res = merge_index_delta(inc_dir, pages_to_df(spark, pages[:2]),
+                            pagerank=True)
+    assert res["mode"] == "recompact"
+
+
+def test_append_recrawl_tombstone_semantics(spark, tmp_path_factory):
+    """Re-crawls as LSM deletes: stale postings stay on disk but serving
+    filters them — content, document frequencies, stats and snippets all
+    behave as if the index had been rebuilt over the resolved corpus."""
+    pages = generate_pages(130, seed=13)
+    base, fresh = pages[:100], pages[100:]
+    replaced_idx = [3, 10, 33, 57, 71, 92]
+    recrawl = [
+        dict(pages[i], html=pages[(i + 40) % 100]["html"])
+        for i in replaced_idx
+    ]
+    # merge semantics are latest-ADMITTED-snapshot-wins: a re-crawl whose
+    # new html fails admission never reaches the delta, so the old row
+    # stays live — mirror that in the expected resolved corpus
+    from mithril_spark.text.docproc import process_page
+
+    resolved = {p["url"]: p for p in base}
+    for p in recrawl + fresh:
+        if process_page(p["url"].encode(), p["html"]) is not None:
+            resolved[p["url"]] = p
+
+    full_dir = str(tmp_path_factory.mktemp("ts_full") / "i")
+    build_index(pages_to_df(spark, list(resolved.values())), full_dir,
+                num_shards=3)
+
+    inc_dir = str(tmp_path_factory.mktemp("ts_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+    res = merge_index_delta(inc_dir, pages_to_df(spark, recrawl + fresh))
+    assert res["mode"] == "append"
+    by_phase = {p["phase"]: p for p in res["phases"]}
+    n_dead = by_phase["tombstones"]["replaced_docs"]
+    # the admitted subset of the 6 re-crawls (both the old url and the new
+    # html must pass the admission filter to count as a replacement)
+    assert n_dead >= 2
+
+    ef = SearchEngine(spark, full_dir, cache_doc_map=False)
+    ei = SearchEngine(spark, inc_dir, cache_doc_map=False)
+
+    # live corpus identical: same url set, same per-url body/title stats
+    def url_stats(path):
+        return sorted(
+            (bytes(r["url"]), int(r["body_len"]), int(r["title_len"]))
+            for r in spark.read.parquet(f"{path}/doc_map")
+            .select("url", "body_len", "title_len").collect()
+        )
+
+    assert url_stats(full_dir) == url_stats(inc_dir)
+
+    # exact global document frequencies (dead docs subtracted)
+    def global_df(path):
+        return {
+            r["term"]: int(r["df"]) for r in
+            spark.read.parquet(f"{path}/term_dict")
+            .groupBy("term").agg({"df": "sum"})
+            .withColumnRenamed("sum(df)", "df").collect()
+        }
+
+    assert global_df(full_dir) == global_df(inc_dir)
+
+    # match sets (layout-independent shapes) agree at url level
+    uf, ui = _doc_urls(spark, full_dir), _doc_urls(spark, inc_dir)
+    for q in ["search engine", "granite OR marble", "data AND systems",
+              "index"]:
+        assert {uf[d] for d in ef.matches(q)} == \
+               {ui[d] for d in ei.matches(q)}, q
+
+    # serving-path equality over the tombstoned index: resident (default),
+    # distributed collect, and cogroup must agree on everything
+    e_dist = SearchEngine(spark, inc_dir, cache_doc_map=False,
+                          driver_serve_bytes=0)
+    e_cog = SearchEngine(spark, inc_dir, cache_doc_map=False,
+                         max_payload_rows=0)
+    for q in QUERIES + ["index NOT granite"]:
+        want = ei.top_k(q)
+        assert e_dist.top_k(q) == want, q
+        assert e_cog.top_k(q) == want, q
+        assert sorted(ei.matches(q)) == sorted(e_dist.matches(q)), q
+    assert ei.bm25_topk("granite data", k=5) == \
+        e_cog.bm25_topk("granite data", k=5)
+
+    # a replaced doc serves its NEW text end-to-end (snippets resolve the
+    # sidecar generations latest-wins) and its old docid never surfaces
+    tomb = {
+        (int(r["shard"]), int(r["local_id"]))
+        for r in spark.read.parquet(f"{inc_dir}/tombstones").collect()
+    }
+    assert len(tomb) == n_dead
+    shard_size = json.load(open(os.path.join(inc_dir, "index_meta.json")))[
+        "shard_size"]
+    dead_gids = {s * shard_size + l for s, l in tomb}
+    for q in ["search engine", "granite OR marble", "NOT quartz"]:
+        hits = ei.top_k_with_snippets(q)
+        assert not dead_gids.intersection(d for d, *_ in hits)
+        assert not dead_gids.intersection(ei.matches(q))
+    for d, _s in ei.bm25_topk("search engine granite", k=20):
+        assert d not in dead_gids
+
+    # compaction folds tombstones + generations away: byte-identical to a
+    # fresh build over the resolved corpus at the base shard count
+    compact_index(spark, inc_dir)
+    assert not os.path.isdir(os.path.join(inc_dir, "tombstones"))
+    full2 = str(tmp_path_factory.mktemp("ts_full2") / "i")
+    build_index(pages_to_df(spark, list(resolved.values())), full2,
+                num_shards=2)
+    _assert_same_index(spark, full2, inc_dir)

@@ -30,6 +30,46 @@ def test_wand_equals_exhaustive_random(seed):
                 bm25_exhaustive_topk(term_blocks, body_lens, n_docs, avg, k)
 
 
+@pytest.mark.parametrize("seed", [3, 4])
+def test_wand_equals_exhaustive_with_tombstones(seed):
+    """Dead-doc filtering at block decode + exact df override: WAND stays
+    exactly equal to exhaustive scoring over tombstoned segments, and
+    never returns a dead doc (append-mode merges, indexer.py)."""
+    rng = random.Random(seed)
+    for _trial in range(20):
+        n_docs = rng.randint(5, 600)
+        body_lens = {d: rng.randint(1, 50) for d in range(n_docs)}
+        avg = sum(body_lens.values()) / n_docs
+        term_blocks = {}
+        postings = {}
+        for t in range(rng.randint(1, 5)):
+            docs = sorted(rng.sample(range(n_docs), rng.randint(1, n_docs)))
+            freqs = [rng.choice([1, 1, 2, 3, 5, 100]) for _ in docs]
+            postings[f"t{t}"] = docs
+            term_blocks[f"t{t}"] = list(
+                encode_posting_blocks(
+                    np.array(docs, np.uint32), np.array(freqs, np.uint32)
+                )
+            )
+        dead = np.array(
+            sorted(rng.sample(range(n_docs),
+                              rng.randint(0, max(1, n_docs // 2)))),
+            np.int64,
+        )
+        deadset = set(dead.tolist())
+        dfs = {
+            t: sum(1 for d in docs if d not in deadset)
+            for t, docs in postings.items()
+        }
+        for k in (1, 5, 20):
+            got = bm25_wand_topk(term_blocks, body_lens, n_docs, avg, k,
+                                 dfs=dfs, tombstones=dead)
+            want = bm25_exhaustive_topk(term_blocks, body_lens, n_docs,
+                                        avg, k, dfs=dfs, tombstones=dead)
+            assert got == want
+            assert not deadset.intersection(d for d, _s in got)
+
+
 def test_wand_skips_blocks():
     """The lazy cursor must not decode blocks it can skip."""
     import mithril_spark.query.wand as wand
