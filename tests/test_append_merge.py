@@ -277,6 +277,82 @@ def test_auto_mode_selection(spark, tmp_path_factory):
     assert res["mode"] == "recompact"
 
 
+def test_many_appends_lsm_stability(spark, tmp_path_factory):
+    """Four successive mixed deltas (new urls + re-crawls of urls from any
+    earlier generation): segments and tombstones accumulate, serving stays
+    exact (df/stats/url parity with a fresh build over the resolved
+    corpus), and one compaction folds the whole history away."""
+    import random as _random
+
+    from mithril_spark.text.docproc import process_page
+
+    pages = generate_pages(220, seed=21)
+    rng = _random.Random(99)
+    base, pool = pages[:80], pages[80:]
+    inc_dir = str(tmp_path_factory.mktemp("lsm_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+
+    current = {p["url"]: p for p in base}
+    pool_i = 0
+    total_replaced = 0
+    for _round in range(4):
+        fresh = pool[pool_i:pool_i + 25]
+        pool_i += 25
+        recrawls = []
+        for src in rng.sample(sorted(current), 6):
+            donor = rng.choice(pages)
+            cand = dict(current[src], html=donor["html"])
+            # keep the model simple: only re-crawl to admissible content
+            # (latest-admitted-wins otherwise keeps the old row)
+            if process_page(cand["url"].encode(), cand["html"]) is not None:
+                recrawls.append(cand)
+        delta = fresh + recrawls
+        res = merge_index_delta(inc_dir, pages_to_df(spark, delta))
+        assert res["mode"] == "append"
+        by_phase = {p["phase"]: p for p in res["phases"]}
+        total_replaced += by_phase["tombstones"]["replaced_docs"]
+        for p in delta:
+            current[p["url"]] = p
+
+    assert total_replaced >= 4  # tombstones genuinely accumulated
+    with open(os.path.join(inc_dir, "index_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["tombstone_count"] == total_replaced
+    assert meta["docid_watermark"] > meta["total_docs"]
+
+    full_dir = str(tmp_path_factory.mktemp("lsm_full") / "i")
+    build_index(pages_to_df(spark, list(current.values())), full_dir,
+                num_shards=2)
+
+    def url_stats(path):
+        return sorted(
+            (bytes(r["url"]), int(r["body_len"]))
+            for r in spark.read.parquet(f"{path}/doc_map")
+            .select("url", "body_len").collect()
+        )
+
+    def global_df(path):
+        return {
+            r["term"]: int(r["df"]) for r in
+            spark.read.parquet(f"{path}/term_dict")
+            .groupBy("term").agg({"df": "sum"})
+            .withColumnRenamed("sum(df)", "df").collect()
+        }
+
+    assert url_stats(full_dir) == url_stats(inc_dir)
+    assert global_df(full_dir) == global_df(inc_dir)
+
+    ef = SearchEngine(spark, full_dir, cache_doc_map=False)
+    ei = SearchEngine(spark, inc_dir, cache_doc_map=False)
+    uf, ui = _doc_urls(spark, full_dir), _doc_urls(spark, inc_dir)
+    for q in ["search engine", "granite OR marble", "data AND systems"]:
+        assert {uf[d] for d in ef.matches(q)} == \
+               {ui[d] for d in ei.matches(q)}, q
+
+    compact_index(spark, inc_dir)
+    _assert_same_index(spark, full_dir, inc_dir)
+
+
 def test_append_recrawl_tombstone_semantics(spark, tmp_path_factory):
     """Re-crawls as LSM deletes: stale postings stay on disk but serving
     filters them — content, document frequencies, stats and snippets all

@@ -85,6 +85,55 @@ def test_vec_equals_scalar_on_random_trees(oracle):
             ), (i, q)
 
 
+def _tombstoned(shard, rng):
+    """A live-filtered copy of ``shard`` with a HOLEY docid space, as the
+    engine builds over an append-merged index (engine._build_shard): dead
+    docids filtered out of every posting/position stream, doc_map without
+    them, docid_space = the original dense bound."""
+    all_docs = sorted(shard.doc_map)
+    dead = set(rng.sample(all_docs, max(1, len(all_docs) // 6)))
+    out = ShardIndex(
+        doc_count=shard.doc_count - len(dead),
+        base_doc_id=shard.base_doc_id,
+        docid_space=shard.doc_count,
+        tombstones=np.array(sorted(dead), np.int64),
+        total_body_length=shard.total_body_length,
+        total_title_length=shard.total_title_length,
+        total_url_length=shard.total_url_length,
+        total_desc_length=shard.total_desc_length,
+    )
+    for t, (docs, freqs) in shard.postings.items():
+        kept = [(d, f) for d, f in zip(docs, freqs) if int(d) not in dead]
+        if kept:
+            out.postings[t] = ([d for d, _ in kept], [f for _, f in kept])
+    for t, (docs, flags, plists) in shard.positions.items():
+        kept = [(d, fl, p) for d, fl, p in zip(docs, flags, plists)
+                if int(d) not in dead]
+        if kept:
+            out.positions[t] = ([d for d, _, _ in kept],
+                                [fl for _, fl, _ in kept],
+                                [p for _, _, p in kept])
+    out.doc_map = {d: m for d, m in shard.doc_map.items() if d not in dead}
+    return out
+
+
+def test_vec_equals_scalar_on_tombstoned_shards(oracle):
+    """The vec==scalar identity must survive the append-merge serving
+    shape: holey docid spaces (docid_space > doc_count) change the NOT
+    complement universe in BOTH evaluators — they must keep agreeing on
+    every random tree, and never emit a dead docid for posting-backed
+    subtrees (NOT-yielded dead docids are dropped downstream at the
+    doc-map lookup, so they may legitimately appear here)."""
+    rng = random.Random(20260818)
+    shards = [_tombstoned(s, rng) for s in oracle.shards]
+    for i in range(200):
+        q = _random_query(rng)
+        for shard in shards:
+            assert _as_list(evaluate_query(q, shard)) == _as_list(
+                evaluate_query_scalar(q, shard)
+            ), (i, q)
+
+
 def test_quote_phrase_trees_match_scalar(oracle):
     """Positional trees == scalar walk in BOTH gate outcomes: vectorized
     (root / under a never-seeked OR) and scalar fall-through (under AND or
