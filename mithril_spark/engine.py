@@ -190,8 +190,10 @@ DEFAULT_MAX_PAYLOAD_ROWS = 1_000_000
 
 # On-disk doc_map bytes under which shard images are ALSO held
 # driver-resident and small-payload queries are answered with zero extra
-# Spark jobs (engine init loads ~4x this in memory). 0 disables.
-DRIVER_IMAGE_BYTES = 256 << 20
+# Spark jobs. Python tuple/dict overhead makes the resident term store
+# cost ~10x its on-disk bytes in driver RAM, so the budget is set well
+# inside the default 20g driver (session.py). 0 disables.
+DRIVER_IMAGE_BYTES = 128 << 20
 
 
 def _doc_text_dirs(index_dir: str) -> list[str]:
