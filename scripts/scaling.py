@@ -128,8 +128,18 @@ the job-level efficiency tracks the relative number.
 Raw per-run numbers incl. per-phase seconds: `benchres/scaling.json`.
 Reference single-VM baseline: ~2,500 docs/s (BASELINE.md).
 """
-    with open(os.path.join(ROOT, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve manually-authored sections below the marker (serving
+    # measurements, merge evidence, dedup scaling, ...): only the
+    # auto-generated scaling report above it is replaced
+    bench_path = os.path.join(ROOT, "BENCH.md")
+    marker = "<!-- scaling-autogen-end -->\n"
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        if marker in old:
+            tail = old.split(marker, 1)[1]
+    with open(bench_path, "w") as f:
+        f.write(md + "\n" + marker + tail)
     print(md)
 
 
