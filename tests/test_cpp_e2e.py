@@ -475,3 +475,39 @@ def test_reference_e2e_fuzz_scale(ref_stack, tmp_path_factory):
     # identical than at 150 — but every divergence must still be explained
     _differential_compare(query_exe, work, oracle, queries,
                           min_identical_frac=0.4)
+
+
+@pytest.mark.slow
+def test_reference_e2e_fuzz_800(ref_stack, tmp_path_factory):
+    """800 docs / 300 queries, a third fuzz seed: at this scale the
+    defect horizon covers most ranked tails (~45% of queries stay fully
+    identical), so the substantive assertion is the attribution one —
+    every one of ~2k divergent result docs must be machine-explained by
+    the two documented cursor defects, with zero unexplained."""
+    from mithril_spark.fixtures import QUERY_SET, generate_pages
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.text.docproc import process_page
+
+    builder, query_exe, _termdict = ref_stack
+    work = str(tmp_path_factory.mktemp("e2e_fuzz800"))
+    pages = generate_pages(800, seed=42)
+    docs = sorted(
+        (d for d in (process_page(p["url"].encode(), p["html"])
+                     for p in pages) if d is not None),
+        key=lambda d: d.url,
+    )
+    _write_reference_corpus(docs, work + "/crawl")
+    r = subprocess.run(
+        [builder, work + "/crawl", f"--output={work}/index", "--force",
+         "--quiet"],
+        capture_output=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages], num_shards=1
+    )
+    queries = list(QUERY_SET) + _extra_queries(
+        n=300 - len(QUERY_SET), seed=31337)
+    fully_identical, explained = _differential_compare(
+        query_exe, work, oracle, queries, min_identical_frac=0.3)
+    assert explained > 500  # the attribution machinery is doing real work
