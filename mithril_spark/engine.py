@@ -1009,7 +1009,8 @@ def _build_shard(
     posting/position stream, so the walk — and ``doc_freq`` via
     materialized-list length — sees only live docs; the NOT complement
     runs over ``docid_space`` (max live local + 1) and any dead docids it
-    yields die at the doc-map lookup, which no longer contains them."""
+    yields are dropped from the match list before ranking
+    (query/shard.py::_drop_tombstoned) and by ``matches()``."""
     from .codec import decode_position_block, decode_posting_block
 
     if tombstones is not None and not len(tombstones):

@@ -222,6 +222,7 @@ def handle_ranking_scalar(
     ``matches`` are ascending shard-local docids. Returns the shard's top-50
     as (doc_id, score, url, title_words) ordered by (score desc, doc desc).
     """
+    matches = _drop_tombstoned(shard, matches)
     if len(matches) == 0:
         return []
 
@@ -304,6 +305,23 @@ def handle_ranking_scalar(
     return top_k_elements_fast(ranked)
 
 
+def _drop_tombstoned(shard: ShardIndex, matches):
+    """Filter append-merge tombstones out of a match list before ranking.
+
+    A NOT complement over the holey docid space of an append-merged index
+    yields dead local ids (their postings are already decode-filtered, but
+    the complement universe [0, docid_space) still contains the holes);
+    without this gate they would reach ``handle_ranking``'s
+    missing-doc-map branch and surface as phantom (docid, 0, b"", [])
+    rows whenever a shard has fewer than k positive-scoring live matches
+    (ADVICE r04). Identity on clean indexes: ``tombstones`` is None there.
+    """
+    if shard.tombstones is None or len(matches) == 0:
+        return matches
+    marr = np.asarray(matches, dtype=np.int64)
+    return marr[~np.isin(marr, shard.tombstones, assume_unique=True)]
+
+
 RANK_CHUNK = 16384  # vectorized scoring batch; breaks replay chunk-exactly
 
 
@@ -340,6 +358,7 @@ def handle_ranking(
     over the score sequence in match order — chunking cannot change the
     output because the counters only ever stop the scan earlier.
     """
+    matches = _drop_tombstoned(shard, matches)
     if len(matches) == 0:
         return []
 

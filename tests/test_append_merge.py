@@ -353,6 +353,43 @@ def test_many_appends_lsm_stability(spark, tmp_path_factory):
     _assert_same_index(spark, full_dir, inc_dir)
 
 
+def test_not_complement_never_surfaces_tombstones(spark, tmp_path_factory):
+    """ADVICE r04 (medium): with FEWER than k live matches per shard, a
+    complement query on an append-merged index used to pad its top-k with
+    phantom dead docids as (docid, 0, b'', []) rows. The corpus here is
+    small enough that every complement ranks fully, so any leaked dead id
+    would surface."""
+    pages = generate_pages(30, seed=17)
+    inc_dir = str(tmp_path_factory.mktemp("ncx_inc") / "i")
+    build_index(pages_to_df(spark, pages[:25]), inc_dir, num_shards=2)
+
+    from mithril_spark.text.docproc import process_page
+
+    recrawl = []
+    for i in (2, 7, 11, 19):
+        cand = dict(pages[i], html=pages[(i + 9) % 25]["html"])
+        if process_page(cand["url"].encode(), cand["html"]) is not None:
+            recrawl.append(cand)
+    res = merge_index_delta(inc_dir, pages_to_df(spark, recrawl + pages[25:]))
+    assert res["mode"] == "append"
+    by_phase = {p["phase"]: p for p in res["phases"]}
+    assert by_phase["tombstones"]["replaced_docs"] >= 1
+
+    shard_size = json.load(open(os.path.join(inc_dir, "index_meta.json")))[
+        "shard_size"]
+    dead_gids = {
+        int(r["shard"]) * shard_size + int(r["local_id"])
+        for r in spark.read.parquet(f"{inc_dir}/tombstones").collect()
+    }
+    ei = SearchEngine(spark, inc_dir, cache_doc_map=False)
+    for q in ["NOT quartz", "NOT granite", "NOT zzzneverseen",
+              "search OR NOT engine"]:
+        hits = ei.top_k(q)
+        ids = {d for d, *_ in hits}
+        assert not (ids & dead_gids), (q, ids & dead_gids)
+        assert all(u != b"" for _d, _s, u, _t in hits), q
+
+
 def test_append_recrawl_tombstone_semantics(spark, tmp_path_factory):
     """Re-crawls as LSM deletes: stale postings stay on disk but serving
     filters them — content, document frequencies, stats and snippets all

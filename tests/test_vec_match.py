@@ -134,6 +134,29 @@ def test_vec_equals_scalar_on_tombstoned_shards(oracle):
             ), (i, q)
 
 
+def test_ranking_drops_tombstoned_matches(oracle):
+    """ADVICE r04 (medium): NOT complements over a holey docid space yield
+    dead local ids; handle_ranking must DROP them before ranking instead
+    of appending phantom (docid, 0, b"", []) rows — on both the vectorized
+    and the scalar path, tuple-identically."""
+    from mithril_spark.query.shard import handle_ranking_scalar
+
+    rng = random.Random(20260819)
+    shards = [_tombstoned(s, rng) for s in oracle.shards]
+    queries = ["NOT granite", "NOT zzzmissing", "search OR NOT engine",
+               "NOT the"] + [_random_query(rng) for _ in range(40)]
+    for shard in shards:
+        dead = set(shard.tombstones.tolist())
+        for q in queries:
+            matches = evaluate_query(q, shard)
+            ranked = handle_ranking(q, shard, matches)
+            got_ids = {int(d) for d, *_ in ranked}
+            assert not (got_ids & dead), (q, got_ids & dead)
+            # no phantom rows: every surfaced hit has a real url
+            assert all(u != b"" for _d, _s, u, _t in ranked), q
+            assert ranked == handle_ranking_scalar(q, shard, matches), q
+
+
 def test_quote_phrase_trees_match_scalar(oracle):
     """Positional trees == scalar walk in BOTH gate outcomes: vectorized
     (root / under a never-seeked OR) and scalar fall-through (under AND or
