@@ -39,6 +39,7 @@ coordinator multiplexing concurrent queries over resident shards.
 
 from __future__ import annotations
 
+import collections
 import json
 import os
 import pickle
@@ -126,23 +127,44 @@ def _docmap_token(index_dir: str) -> str:
 # Worker-resident doc-map images: loaded from the shard's doc_map parquet
 # partition on first use per (index, shard, epoch) and reused across every
 # later query the reused Python worker serves (spark.python.worker.reuse).
-# Bounded LRU — many test engines over tmp indexes stay within budget.
-_IMAGE_CACHE: dict = {}
-_IMAGE_CACHE_MAX = 8
+# True LRU (hits refresh recency — ADVICE r04) bounded by estimated BYTES,
+# not entry count: with shards ≫ workers many small images must coexist
+# per worker or every query reloads its shard's parquet (image churn).
+_IMAGE_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_IMAGE_CACHE_BUDGET = int(
+    os.environ.get("MITHRIL_IMAGE_CACHE_BYTES", str(512 << 20)))
+_IMAGE_LOADS = 0  # parquet loads in this worker (churn diagnostic)
+
+
+def _image_nbytes(img: dict) -> int:
+    """Estimated resident bytes of one image (numpy + payload + overhead)."""
+    n = 0
+    for v in img.values():
+        if isinstance(v, np.ndarray):
+            n += v.nbytes
+    n += sum(len(u) + 64 for u in img["urls"])
+    n += sum(len(t) + 64 for tw in img["titles"] for t in tw)
+    return n
 
 
 def _worker_image(index_dir: str, shard: int, token: str) -> dict:
+    global _IMAGE_LOADS
     key = (index_dir, shard, token)
-    img = _IMAGE_CACHE.get(key)
-    if img is None:
-        import pyarrow.parquet as pq
+    hit = _IMAGE_CACHE.get(key)
+    if hit is not None:
+        _IMAGE_CACHE.move_to_end(key)
+        return hit[0]
+    import pyarrow.parquet as pq
 
-        path = os.path.join(index_dir, "doc_map", f"shard={shard}")
-        pdf = pq.read_table(path).to_pandas()
-        img = _image_dict(pdf)
-        while len(_IMAGE_CACHE) >= _IMAGE_CACHE_MAX:
-            _IMAGE_CACHE.pop(next(iter(_IMAGE_CACHE)))
-        _IMAGE_CACHE[key] = img
+    path = os.path.join(index_dir, "doc_map", f"shard={shard}")
+    pdf = pq.read_table(path).to_pandas()
+    img = _image_dict(pdf)
+    _IMAGE_LOADS += 1
+    _IMAGE_CACHE[key] = (img, _image_nbytes(img))
+    total = sum(b for _i, b in _IMAGE_CACHE.values())
+    while total > _IMAGE_CACHE_BUDGET and len(_IMAGE_CACHE) > 1:
+        _evicted, (_img, b) = _IMAGE_CACHE.popitem(last=False)
+        total -= b
     return img
 
 

@@ -701,6 +701,10 @@ def _build_derived(
         "block_size": BLOCK_SIZE,
         "salt_range": SALT_RANGE,
         "counters": counters,
+        # whether the last full (re)build computed pagerank — append-mode
+        # merges cannot maintain it (the graph is global), so they warn
+        # and leave delta docs at pagerank 0.0 until a recompaction
+        "built_with_pagerank": bool(pagerank),
         # smallest per-shard avg body length any of this shard's posting
         # blocks were encoded with — append-mode merges lower it as the
         # corpus drifts; serving scales block-max tf bounds by
@@ -815,7 +819,11 @@ def merge_index_delta(
       posting/position bytes, not O(corpus) — the ``postings``/
       ``positions`` phase metrics record ``appended_bytes`` next to the
       pre-merge ``table_bytes_before`` so the bound is checkable
-      (tests/test_append_merge.py).
+      (tests/test_append_merge.py). LIMITATION: pagerank is a global
+      graph property and is NOT maintained by appends — delta docs carry
+      pagerank 0.0 (and re-crawled docs lose their old score) until a
+      pagerank recompaction; merging into an index whose last full build
+      computed pagerank emits a warning.
     * ``"recompact"`` — the exact-layout path: derived tables are rebuilt
       from the resolved stage. Under the dense-url-rank docid policy
       (oracle.py) a new url shifts every rank behind it, so this is the
@@ -983,6 +991,18 @@ def _append_delta_derived(
     (``min_avg_body_enc``) and serving scales bounds up by
     avg_now/min_enc (engine.bm25_topk) — pruning can only get looser,
     never wrong."""
+    if meta.get("built_with_pagerank"):
+        # ADVICE r04: delta docs get pagerank=0.0 and re-crawled docs lose
+        # their old score until a recompaction recomputes the global graph
+        import warnings
+
+        warnings.warn(
+            "append-mode merge on an index built with pagerank: delta "
+            "docs carry pagerank=0.0 until a pagerank recompaction "
+            "(merge_index_delta(..., pagerank=True, mode='recompact') or "
+            "compact_index(..., pagerank=True))",
+            stacklevel=3,
+        )
     shard_size = int(meta["shard_size"])
     num_buckets = int(meta["num_buckets"])
     total_docs = int(meta["total_docs"])

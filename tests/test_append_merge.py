@@ -247,6 +247,30 @@ def test_append_writes_o_delta_bytes(spark, tmp_path_factory):
     assert hits
 
 
+def test_append_on_pagerank_index_warns(spark, tmp_path_factory):
+    """ADVICE r04: appends cannot maintain the global pagerank — merging
+    into a pagerank-built index must warn (delta docs serve pagerank 0.0
+    until a recompaction), while a plain-built index stays silent."""
+    import warnings
+
+    import pytest
+
+    pages = generate_pages(25, seed=3)
+    inc_dir = str(tmp_path_factory.mktemp("prw_inc") / "i")
+    build_index(pages_to_df(spark, pages[:20]), inc_dir, num_shards=1,
+                pagerank=True)
+    with pytest.warns(UserWarning, match="pagerank"):
+        res = merge_index_delta(inc_dir, pages_to_df(spark, pages[20:22]))
+    assert res["mode"] == "append"
+
+    plain_dir = str(tmp_path_factory.mktemp("prw_plain") / "i")
+    build_index(pages_to_df(spark, pages[:20]), plain_dir, num_shards=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        res = merge_index_delta(plain_dir, pages_to_df(spark, pages[22:]))
+    assert res["mode"] == "append"
+
+
 def test_auto_mode_selection(spark, tmp_path_factory):
     """auto: append for any content delta (new urls AND re-crawls, the
     latter via tombstones); only a pagerank refresh recompacts."""

@@ -61,6 +61,47 @@ def test_distributed_collect_path_rank_identity(spark, corpus, oracle_pages,
         assert engine.top_k(q) == oracle.top_k(q), (shards, q)
 
 
+def test_worker_image_cache_is_lru(tmp_path, monkeypatch):
+    """ADVICE r04: hits must refresh recency — a hot image is never the
+    eviction victim. No JVM: drives _worker_image against tiny parquet
+    doc_map partitions directly."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mithril_spark import engine
+
+    idx = str(tmp_path)
+    for s in range(3):
+        d = tmp_path / "doc_map" / f"shard={s}"
+        d.mkdir(parents=True)
+        pdf = pd.DataFrame({
+            "local_id": [0, 1], "url": [b"u0", b"u1"],
+            "title": [[b"t"], [b"t"]], "body_len": [10, 12],
+            "title_len": [1, 1], "url_len": [2, 2], "desc_len": [0, 0],
+            "static_rank": [1.0, 1.0], "pagerank": [0.0, 0.0],
+        })
+        pq.write_table(pa.Table.from_pandas(pdf), d / "part-0.parquet")
+
+    monkeypatch.setattr(engine, "_IMAGE_CACHE", collections.OrderedDict())
+    monkeypatch.setattr(engine, "_image_nbytes", lambda img: 1)
+    monkeypatch.setattr(engine, "_IMAGE_CACHE_BUDGET", 2)
+    monkeypatch.setattr(engine, "_IMAGE_LOADS", 0)
+
+    engine._worker_image(idx, 0, "tok")
+    engine._worker_image(idx, 1, "tok")
+    engine._worker_image(idx, 0, "tok")   # hit: refreshes shard 0's recency
+    assert engine._IMAGE_LOADS == 2
+    engine._worker_image(idx, 2, "tok")   # evicts LRU = shard 1, NOT shard 0
+    assert engine._IMAGE_LOADS == 3
+    keys = {k[1] for k in engine._IMAGE_CACHE}
+    assert keys == {0, 2}
+    engine._worker_image(idx, 0, "tok")   # still resident — no reload
+    assert engine._IMAGE_LOADS == 3
+
+
 def test_cogroup_matches_and_wand_agree_with_driver_path(
     spark, corpus, oracle_pages, tmp_path_factory
 ):
