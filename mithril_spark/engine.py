@@ -108,19 +108,22 @@ def _image_dict(pdf: pd.DataFrame) -> dict:
 
 
 def _docmap_token(index_dir: str) -> str:
-    """Doc-map epoch token: changes whenever any doc_map file changes, so
-    worker-resident images invalidate across rebuilds and append merges."""
+    """Doc-map epoch token: changes whenever any doc_map OR tombstones
+    file changes, so worker-resident images invalidate across rebuilds
+    and append merges (the image is the doc_map rows MINUS the tombstone
+    mask — both inputs version it)."""
     import hashlib
 
-    root = os.path.join(index_dir, "doc_map")
     parts = []
-    for r, _dirs, files in os.walk(root):
-        for f in files:
-            if f.endswith(".parquet"):
-                p = os.path.join(r, f)
-                st = os.stat(p)
-                parts.append(
-                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}")
+    for sub in ("doc_map", "tombstones"):
+        root = os.path.join(index_dir, sub)
+        for r, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    st = os.stat(p)
+                    parts.append(f"{sub}/{os.path.relpath(p, root)}:"
+                                 f"{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(sorted(parts)).encode()).hexdigest()
 
 
@@ -147,6 +150,23 @@ def _image_nbytes(img: dict) -> int:
     return n
 
 
+def _dead_locals(index_dir: str, shard: int) -> "np.ndarray | None":
+    """Sorted dead local ids for one shard from the tombstones table —
+    the doc-map LSM mask (doc_map is append-only across re-crawl merges,
+    indexer._append_delta_derived). None when the index has none."""
+    tomb = os.path.join(index_dir, "tombstones")
+    if not (os.path.isdir(tomb) and _dir_parquet_bytes(tomb)):
+        return None
+    import pyarrow.parquet as pq
+
+    td = pq.read_table(tomb).to_pydict()
+    out = [int(l) for s, l in zip(td["shard"], td["local_id"])
+           if int(s) == shard]
+    if not out:
+        return None
+    return np.unique(np.asarray(out, dtype=np.int64))
+
+
 def _worker_image(index_dir: str, shard: int, token: str) -> dict:
     global _IMAGE_LOADS
     key = (index_dir, shard, token)
@@ -158,6 +178,9 @@ def _worker_image(index_dir: str, shard: int, token: str) -> dict:
 
     path = os.path.join(index_dir, "doc_map", f"shard={shard}")
     pdf = pq.read_table(path).to_pandas()
+    dead = _dead_locals(index_dir, shard)
+    if dead is not None:
+        pdf = pdf[~pdf["local_id"].isin(dead)]
     img = _image_dict(pdf)
     _IMAGE_LOADS += 1
     _IMAGE_CACHE[key] = (img, _image_nbytes(img))
@@ -349,6 +372,40 @@ class SearchEngine:
         if cache_doc_map:
             self.shard_images = self.shard_images.persist()
             self.shard_images.count()
+        # Append-merge tombstones (indexer.py): sorted dead local docids
+        # per shard, filtered out of every decoded posting/position stream
+        # at shard build AND masked out of the doc-map images (doc_map is
+        # append-only across re-crawl merges). Absent (empty dict) on any
+        # index without replacement appends. Loaded driver-side and
+        # shipped in the task closure — the auto-compaction guard keeps
+        # the set delta-bounded.
+        self._tombstones: dict[int, "np.ndarray"] = {}
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        if os.path.isdir(tomb_dir) and _dir_parquet_bytes(tomb_dir):
+            import pyarrow.parquet as pq
+
+            td = pq.read_table(tomb_dir).to_pydict()
+            by_shard: dict[int, list] = {}
+            for s, lid in zip(td["shard"], td["local_id"]):
+                by_shard.setdefault(int(s), []).append(int(lid))
+            self._tombstones = {
+                s: np.unique(np.asarray(v, dtype=np.int64))
+                for s, v in by_shard.items()
+            }
+            n_tomb = sum(len(v) for v in self._tombstones.values())
+            total = max(int(self.meta.get("total_docs", 0)), 1)
+            if n_tomb >= max(0.02 * total, 100_000):
+                # merge_index_delta's auto-compaction guard normally fires
+                # first; reaching here means it was disabled — be loud
+                import warnings
+
+                warnings.warn(
+                    f"index at {index_dir} carries {n_tomb} tombstones "
+                    f"({n_tomb / total:.1%} of the corpus): compaction is "
+                    "overdue — run indexer.compact_index to fold dead "
+                    "rows out (every query ships the tombstone arrays in "
+                    "its task closure)",
+                )
         # DRIVER-resident images for small indexes: when the whole doc_map
         # fits a byte budget, small-payload queries are answered entirely
         # in-driver (the payload collect is the ONLY Spark job) — the
@@ -367,10 +424,12 @@ class SearchEngine:
 
             pdf = pq.read_table(
                 os.path.join(index_dir, "doc_map")).to_pandas()
-            self._driver_images = {
-                int(s): _image_dict(grp)
-                for s, grp in pdf.groupby("shard", observed=True)
-            }
+            self._driver_images = {}
+            for s, grp in pdf.groupby("shard", observed=True):
+                dead = self._tombstones.get(int(s))
+                if dead is not None and len(dead):
+                    grp = grp[~grp["local_id"].isin(dead)]
+                self._driver_images[int(s)] = _image_dict(grp)
             # term store too, when the WHOLE index fits the budget: then a
             # small-payload query runs with ZERO Spark jobs — resident
             # dictionaries seeded from the same parquet tables the
@@ -381,25 +440,6 @@ class SearchEngine:
             )
             if idx_bytes <= driver_serve_bytes:
                 self._driver_store = _load_term_store(index_dir)
-        # Append-merge tombstones (indexer.py): sorted dead local docids
-        # per shard, filtered out of every decoded posting/position stream
-        # at shard build. Absent (empty dict) on any index without
-        # replacement appends. Loaded driver-side and shipped in the task
-        # closure — K dead docs is tiny by construction (compaction is
-        # overdue long before it isn't).
-        self._tombstones: dict[int, "np.ndarray"] = {}
-        tomb_dir = os.path.join(index_dir, "tombstones")
-        if os.path.isdir(tomb_dir) and _dir_parquet_bytes(tomb_dir):
-            import pyarrow.parquet as pq
-
-            td = pq.read_table(tomb_dir).to_pydict()
-            by_shard: dict[int, list] = {}
-            for s, lid in zip(td["shard"], td["local_id"]):
-                by_shard.setdefault(int(s), []).append(int(lid))
-            self._tombstones = {
-                s: np.unique(np.asarray(v, dtype=np.int64))
-                for s, v in by_shard.items()
-            }
         # WAND soundness across append-mode segments (indexer.py): blocks
         # encoded before a shard's avg body length grew carry a too-small
         # max_tfn bound; scale bounds up by avg_now/min_enc. Exactly 1.0

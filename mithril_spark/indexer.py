@@ -789,6 +789,39 @@ def read_stage(spark: SparkSession, index_dir: str) -> DataFrame:
     return survivors.unionByName(delta_resolved)
 
 
+def _tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """(shard, local_id) of dead docids, or None when the index has no
+    replacement appends (tombstones dir absent/empty)."""
+    tomb = os.path.join(index_dir, "tombstones")
+    if not (os.path.isdir(tomb) and _dir_parquet_bytes(tomb)):
+        return None
+    return spark.read.parquet(tomb).select("shard", "local_id")
+
+
+def read_doc_map_live(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Dead-filtered view of the doc_map table — the LSM read path.
+
+    Append-mode merges leave a re-crawled url's old row on disk (doc_map
+    is append-only, like postings); this masks those rows via an anti-join
+    against the delta-bounded tombstone set (broadcast). Identity on any
+    index without replacement appends; ``compact_index`` folds the dead
+    rows away physically."""
+    dm = spark.read.parquet(os.path.join(index_dir, "doc_map"))
+    tomb = _tombstones_df(spark, index_dir)
+    if tomb is None:
+        return dm
+    return dm.join(F.broadcast(tomb), ["shard", "local_id"], "left_anti")
+
+
+def read_doc_ids_live(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Dead-filtered view of the doc_ids table (see read_doc_map_live)."""
+    ids = spark.read.parquet(os.path.join(index_dir, "doc_ids"))
+    tomb = _tombstones_df(spark, index_dir)
+    if tomb is None:
+        return ids
+    return ids.join(F.broadcast(tomb), ["shard", "local_id"], "left_anti")
+
+
 def merge_index_delta(
     index_dir: str,
     new_pages: DataFrame | None = None,
@@ -796,6 +829,8 @@ def merge_index_delta(
     pagerank: bool = False,
     extracted: DataFrame | None = None,
     mode: str = "auto",
+    auto_compact_tombstone_frac: float | None = 0.02,
+    auto_compact_min_tombstones: int = 100_000,
 ) -> dict:
     """Incrementally fold new pages into an existing index.
 
@@ -812,10 +847,12 @@ def merge_index_delta(
       the files land next to the existing ones (blocks of one
       (term, shard) never overlap in docid, so serving just orders by
       first_doc_id). RE-CRAWLED urls are handled as LSM deletes: the old
-      docid is tombstoned, stale posting rows stay on disk and serving
-      filters them at decode; the slim exact tables (doc_ids, doc_map,
-      stats, term_dict) are rewritten dead-free and doc_text gains a
-      latest-wins generation dir. A 1% delta shuffles and writes O(delta)
+      docid is tombstoned and its stale rows stay on disk in EVERY bulky
+      table — postings/positions filter them at block decode, doc_map and
+      doc_ids mask them at read (engine image build / read_doc_map_live);
+      index_stats and term_dict (dictionary-sized) update incrementally
+      by exact subtraction, and doc_text gains a latest-wins generation
+      dir. A 1% delta shuffles and writes O(delta)
       posting/position bytes, not O(corpus) — the ``postings``/
       ``positions`` phase metrics record ``appended_bytes`` next to the
       pre-merge ``table_bytes_before`` so the bound is checkable
@@ -834,7 +871,13 @@ def merge_index_delta(
       requested (the graph is global, so it recompacts).
       ``compact_index`` folds an appended index back to the canonical
       dense layout (byte-identical to a fresh build), clearing tombstones
-      and sidecar generations.
+      and sidecar generations. AUTO-COMPACTION GUARD: when an append
+      leaves ``tombstone_count >= max(auto_compact_tombstone_frac *
+      total_docs, auto_compact_min_tombstones)`` the merge compacts the
+      index itself before returning (``result["compacted"] = True``) —
+      tombstones otherwise grow unboundedly and ship in every query's
+      task closure. Pass ``auto_compact_tombstone_frac=None`` to manage
+      compaction externally.
 
     The reference's builder is batch-only (index/src/main.cpp); this is the
     "crawler keeps writing" continuation of streaming.stream_extract_pages:
@@ -881,12 +924,33 @@ def merge_index_delta(
     m["finished"] = time.time() - t_start
 
     if mode == "append":
-        return _append_delta_derived(
+        result = _append_delta_derived(
             spark, delta_rows, index_dir, meta,
             old_stage=old_stage,
             sort_partitions=sort_partitions,
             metrics=metrics, phase=phase, t_start=t_start,
         )
+        # Auto-compaction guard (VERDICT r04 #2): tombstones and segments
+        # grow without bound under repeated re-crawl merges, and every
+        # query ships the tombstone arrays in its task closure — past the
+        # threshold the merge folds the index back to the canonical dense
+        # layout itself instead of relying on operator discipline. The
+        # absolute floor keeps small/test corpora on the LSM path.
+        new_meta = result["meta"]
+        tc = int(new_meta.get("tombstone_count", 0))
+        if (
+            auto_compact_tombstone_frac
+            and tc >= max(auto_compact_tombstone_frac
+                          * max(int(new_meta["total_docs"]), 1),
+                          auto_compact_min_tombstones)
+        ):
+            comp = compact_index(spark, index_dir,
+                                 sort_partitions=sort_partitions,
+                                 pagerank=pagerank)
+            result["compacted"] = True
+            result["meta"] = comp["meta"]
+            result["compact_wall_s"] = comp["wall_s"]
+        return result
 
     stage = read_stage(spark, index_dir)
     result = _build_derived(
@@ -974,15 +1038,21 @@ def _append_delta_derived(
     _payload_blocks).
 
     RE-CRAWLED urls (LSM deletes): the old docid is TOMBSTONED — its
-    stale posting/position rows stay on disk and serving filters them at
-    block decode (engine._build_shard, query/wand.py), exactly like LSM
-    deletes resolved at read and reclaimed by compaction. The slim exact
-    tables (doc_ids, doc_map, stats, term_dict) are rewritten dead-free —
-    term_dict subtracts the dead docs' per-(term, shard) df/cf computed
-    from their OLD stage rows — so document frequencies, corpus stats and
-    ranking stay exact; only the bulky postings/positions are left
-    append-only. The doc_text sidecar gains a generation dir per merge,
-    resolved latest-wins at snippet fetch (engine._fetch_doc_rows).
+    stale rows stay on disk in every bulky table. Posting/position
+    streams filter them at block decode (engine._build_shard,
+    query/wand.py); doc_map/doc_ids are append-only too (VERDICT r04 #1)
+    and mask dead rows at read (engine._worker_image filters the shard
+    image; read_doc_map_live / read_doc_ids_live are the external view) —
+    so a re-crawl delta writes O(delta) bytes for ALL row-sized tables,
+    never an O(corpus) rewrite. The two dictionary/shard-sized exact
+    tables update incrementally: term_dict subtracts the dead docs'
+    per-(term, shard) df/cf computed from their OLD stage rows (the only
+    place their term lists live), and index_stats subtracts the dead
+    rows' length sums (pruned doc_map scan) — integer-exact, so document
+    frequencies, corpus stats and ranking match a fresh build over the
+    live corpus. The doc_text sidecar gains a generation dir per merge,
+    resolved latest-wins at snippet fetch (engine._fetch_doc_rows);
+    ``compact_index`` reclaims all dead rows physically.
 
     WAND soundness across segments: blocks bake in a max-normalized-tf
     bound computed with the avg body length AT ENCODE TIME; if the corpus
@@ -1090,7 +1160,22 @@ def _append_delta_derived(
         .join(F.broadcast(delta.select("url")), "url")
         .select("url", "doc_id", "shard", "local_id")
     )
-    replaced_rows = replaced.collect()
+    # doc_ids is append-only under the LSM layout: a twice-re-crawled url
+    # has its dead row(s) still on disk, so ids already tombstoned by an
+    # earlier merge are excluded — only the LIVE row dies this merge.
+    # Driver-side set filter: both sides are delta/tombstone-bounded (the
+    # auto-compaction guard keeps the tombstone table small).
+    tomb_path = os.path.join(out_dir, "tombstones")
+    existing_tomb: set = set()
+    if os.path.isdir(tomb_path) and _dir_parquet_bytes(tomb_path):
+        existing_tomb = {
+            (int(r["shard"]), int(r["local_id"]))
+            for r in spark.read.parquet(tomb_path).collect()
+        }
+    replaced_rows = [
+        r for r in replaced.collect()
+        if (int(r["shard"]), int(r["local_id"])) not in existing_tomb
+    ]
     n_replaced = len(replaced_rows)
     dead_gids = [int(r["doc_id"]) for r in replaced_rows]
     m["replaced_docs"] = n_replaced
@@ -1098,44 +1183,63 @@ def _append_delta_derived(
         spark.createDataFrame(
             [(int(r["shard"]), int(r["local_id"])) for r in replaced_rows],
             "shard int, local_id long",
-        ).coalesce(1).write.mode("append").parquet(
-            os.path.join(out_dir, "tombstones"))
+        ).coalesce(1).write.mode("append").parquet(tomb_path)
     m["finished"] = time.time() - t_start
 
-    # --- doc_map: row append (pure growth) or dead-free rewrite (slim);
-    # stats: exact recompute from the resulting doc_map ---
+    # --- doc_map: APPEND-ONLY under the LSM layout (VERDICT r04 #1) —
+    # delta rows land next to the existing ones and a re-crawl's dead
+    # rows STAY on disk, masked at read by the tombstone set
+    # (engine._worker_image / read_doc_map_live) and folded out only by
+    # compact_index — the same treatment postings already get. O(delta)
+    # bytes written, no corpus shuffle. Stats update incrementally
+    # (old + delta - dead; exact integer sums, so identical to a fresh
+    # recompute over the live rows — gated in tests/test_append_merge.py).
     m = phase("doc_map_delta")
+    doc_map_path = os.path.join(out_dir, "doc_map")
+    m["table_bytes_before"] = _dir_parquet_bytes(doc_map_path)
     doc_map_delta = docs.select(
         "shard", "doc_id", "local_id", "url", "title",
         "body_len", "title_len", "url_len", "desc_len", "static_rank",
         F.lit(0.0).cast("float").alias("pagerank"),
     )
-    doc_map_path = os.path.join(out_dir, "doc_map")
-    if n_replaced:
-        dm_tmp = os.path.join(out_dir, "_doc_map_new")
-        (
-            spark.read.parquet(doc_map_path)
-            .filter(~F.col("doc_id").isin(dead_gids))
-            .select(*doc_map_delta.columns)
-            .unionByName(doc_map_delta)
-            .repartition("shard")
-            .write.mode("overwrite").partitionBy("shard").parquet(dm_tmp)
+    doc_map_delta.write.mode("append").partitionBy("shard").parquet(
+        doc_map_path)
+    m["appended_bytes"] = (
+        _dir_parquet_bytes(doc_map_path) - m["table_bytes_before"])
+    stats_cols = ["shard", "doc_count", "total_body", "total_title",
+                  "total_url", "total_desc"]
+    stats_parts = (
+        spark.read.parquet(os.path.join(out_dir, "index_stats"))
+        .select(*stats_cols)
+        .unionByName(
+            docs.groupBy("shard").agg(
+                F.count("*").alias("doc_count"),
+                F.sum("body_len").alias("total_body"),
+                F.sum("title_len").alias("total_title"),
+                F.sum("url_len").alias("total_url"),
+                F.sum("desc_len").alias("total_desc"),
+            )
         )
-        _swap_dir(dm_tmp, doc_map_path)
-    else:
-        doc_map_delta.write.mode("append").partitionBy("shard").parquet(
-            doc_map_path)
+    )
+    if n_replaced:
+        # subtract the dead docs' contributions, read from their (still
+        # on-disk) doc_map rows — a pruned IN-list scan, O(delta) rows
+        stats_parts = stats_parts.unionByName(
+            spark.read.parquet(doc_map_path)
+            .filter(F.col("doc_id").isin(dead_gids))
+            .groupBy("shard")
+            .agg(
+                (-F.count("*")).alias("doc_count"),
+                (-F.sum("body_len")).alias("total_body"),
+                (-F.sum("title_len")).alias("total_title"),
+                (-F.sum("url_len")).alias("total_url"),
+                (-F.sum("desc_len")).alias("total_desc"),
+            )
+        )
     stats_tmp = os.path.join(out_dir, "_index_stats_new")
     (
-        spark.read.parquet(doc_map_path)
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("doc_count"),
-            F.sum("body_len").alias("total_body"),
-            F.sum("title_len").alias("total_title"),
-            F.sum("url_len").alias("total_url"),
-            F.sum("desc_len").alias("total_desc"),
-        )
+        stats_parts.groupBy("shard")
+        .agg(*[F.sum(c).alias(c) for c in stats_cols if c != "shard"])
         .write.mode("overwrite").parquet(stats_tmp)
     )
     _swap_dir(stats_tmp, os.path.join(out_dir, "index_stats"))
@@ -1273,22 +1377,16 @@ def _append_delta_derived(
         for r in ids_delta.select("shard").distinct().collect()
     }
     # all consumers of the delta ids have executed — fold the new ids into
-    # the live doc_ids table (pure append, or dead-free rewrite when urls
-    # were replaced) and bump the assignment watermark
+    # the live doc_ids table. ALWAYS a pure file append (O(delta) bytes):
+    # a re-crawled url's dead row stays on disk, masked by the tombstone
+    # set (read_doc_ids_live) like doc_map, reclaimed by compact_index.
     import shutil
 
-    if n_replaced:
-        ids_new = os.path.join(out_dir, "_doc_ids_new")
-        (
-            spark.read.parquet(ids_path)
-            .filter(~F.col("doc_id").isin(dead_gids))
-            .unionByName(ids_delta)
-            .write.mode("overwrite").parquet(ids_new)
-        )
-        _swap_dir(ids_new, ids_path)
-        shutil.rmtree(ids_tmp, ignore_errors=True)
-    else:
-        _adopt_parquet_files(ids_tmp, ids_path)
+    m = phase("doc_ids")
+    m["table_bytes_before"] = _dir_parquet_bytes(ids_path)
+    m["appended_bytes"] = _adopt_parquet_files(ids_tmp, ids_path)
+    m["ran"] = True
+    m["finished"] = time.time() - t_start
     shutil.rmtree(ids_stage, ignore_errors=True)
     new_total = total_docs + n_delta - n_replaced
     with open(os.path.join(out_dir, "_assign_meta.json")) as f:

@@ -24,6 +24,7 @@ from mithril_spark.indexer import (
     build_index,
     compact_index,
     merge_index_delta,
+    read_doc_map_live,
 )
 from mithril_spark.oracle import OracleIndex
 from tests.test_incremental import _assert_same_index
@@ -84,9 +85,11 @@ def _decoded_positions(spark, path):
 
 
 def _doc_urls(spark, path):
+    # LIVE view: doc_map is append-only across re-crawl merges, so dead
+    # rows stay on disk and must be masked (identity on clean indexes)
     return {
         int(r["doc_id"]): bytes(r["url"])
-        for r in spark.read.parquet(f"{path}/doc_map").collect()
+        for r in read_doc_map_live(spark, path).collect()
     }
 
 
@@ -246,6 +249,89 @@ def test_append_writes_o_delta_bytes(spark, tmp_path_factory):
            {urls[d] for d, *_ in ei.top_k("granite OR data")}
     assert hits
 
+    # VERDICT r04 #1: a RE-CRAWL delta must stay o(corpus) for the slim
+    # row tables too — doc_map/doc_ids are append-only, dead rows masked
+    # by the tombstone set instead of a full dead-free rewrite
+    from mithril_spark.text.docproc import process_page
+
+    recrawl = []
+    for i in (3, 40, 97, 210, 333):
+        cand = dict(base[i], html=base[(i + 60) % len(base)]["html"])
+        if process_page(cand["url"].encode(), cand["html"]) is not None:
+            recrawl.append(cand)
+    assert recrawl
+    res2 = merge_index_delta(inc_dir, pages_to_df(spark, recrawl),
+                             sort_partitions=4)
+    assert res2["mode"] == "append"
+    by_phase2 = {p["phase"]: p for p in res2["phases"]}
+    assert by_phase2["tombstones"]["replaced_docs"] >= 1
+    for tbl in ("doc_map_delta", "doc_ids"):
+        appended = by_phase2[tbl]["appended_bytes"]
+        before = by_phase2[tbl]["table_bytes_before"]
+        assert 0 < appended < 0.5 * before, (tbl, appended, before)
+
+    # and the served view reflects the replacement
+    ei2 = SearchEngine(spark, inc_dir, cache_doc_map=False)
+    urls2 = _doc_urls(spark, inc_dir)
+    # live url set = old live set plus every admitted re-crawl url (a url
+    # whose OLD html failed admission joins as an add, not a replacement)
+    expected = set(urls.values()) | {r["url"].encode() for r in recrawl}
+    assert sorted(urls2.values()) == sorted(expected)
+    assert {d for d, *_ in ei2.top_k("search")} <= set(urls2)
+
+
+def test_auto_compaction_guard(spark, tmp_path_factory):
+    """VERDICT r04 #2: past the tombstone threshold the merge compacts the
+    index ITSELF (result['compacted']), restoring the canonical dense
+    layout byte-identically; below it (default floor) the LSM path is
+    untouched. Serving stays correct through the transition."""
+    from mithril_spark.text.docproc import process_page
+
+    pages = generate_pages(70, seed=29)
+    base, fresh = pages[:40], pages[40:50]
+    inc_dir = str(tmp_path_factory.mktemp("acg_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+
+    current = {p["url"]: p for p in base}
+
+    def admitted_recrawls(idxs, donor_off):
+        out = []
+        for i in idxs:
+            cand = dict(pages[i], html=pages[(i + donor_off) % 40]["html"])
+            if process_page(cand["url"].encode(), cand["html"]) is not None:
+                out.append(cand)
+        return out
+
+    # merge 1: re-crawls under the DEFAULT guard (100k floor) — stays LSM
+    d1 = admitted_recrawls((1, 5, 9, 22), 13) + fresh
+    res = merge_index_delta(inc_dir, pages_to_df(spark, d1))
+    assert res["mode"] == "append" and "compacted" not in res
+    assert os.path.isdir(os.path.join(inc_dir, "tombstones"))
+    for p in d1:
+        current[p["url"]] = p
+
+    # merge 2: floor lowered to 1 — the guard must fire and compact
+    d2 = admitted_recrawls((3, 11, 30), 7)
+    assert d2
+    res2 = merge_index_delta(inc_dir, pages_to_df(spark, d2),
+                             auto_compact_min_tombstones=1)
+    assert res2["mode"] == "append" and res2.get("compacted") is True
+    assert not os.path.isdir(os.path.join(inc_dir, "tombstones"))
+    assert int(res2["meta"].get("tombstone_count", 0)) == 0
+    for p in d2:
+        current[p["url"]] = p
+
+    # compacted result is byte-identical to a fresh build over the
+    # resolved corpus, and serves identically
+    full_dir = str(tmp_path_factory.mktemp("acg_full") / "i")
+    build_index(pages_to_df(spark, list(current.values())), full_dir,
+                num_shards=2)
+    _assert_same_index(spark, full_dir, inc_dir)
+    ef = SearchEngine(spark, full_dir, cache_doc_map=False)
+    ei = SearchEngine(spark, inc_dir, cache_doc_map=False)
+    for q in QUERIES:
+        assert ef.top_k(q) == ei.top_k(q), q
+
 
 def test_append_on_pagerank_index_warns(spark, tmp_path_factory):
     """ADVICE r04: appends cannot maintain the global pagerank — merging
@@ -289,9 +375,9 @@ def test_auto_mode_selection(spark, tmp_path_factory):
 
     with open(os.path.join(inc_dir, "index_meta.json")) as f:
         meta = json.load(f)
-    rows = spark.read.parquet(f"{inc_dir}/doc_map").select("url").collect()
+    rows = read_doc_map_live(spark, inc_dir).select("url").collect()
     urls = {bytes(r["url"]) for r in rows}
-    # replacement, not duplication: every url once, meta agrees
+    # replacement, not duplication: every LIVE url once, meta agrees
     assert len(rows) == len(urls) == meta["total_docs"]
     assert meta["docid_watermark"] > meta["total_docs"]
     assert pages[3]["url"].encode() in urls
@@ -351,7 +437,7 @@ def test_many_appends_lsm_stability(spark, tmp_path_factory):
     def url_stats(path):
         return sorted(
             (bytes(r["url"]), int(r["body_len"]))
-            for r in spark.read.parquet(f"{path}/doc_map")
+            for r in read_doc_map_live(spark, path)
             .select("url", "body_len").collect()
         )
 
@@ -456,11 +542,33 @@ def test_append_recrawl_tombstone_semantics(spark, tmp_path_factory):
     def url_stats(path):
         return sorted(
             (bytes(r["url"]), int(r["body_len"]), int(r["title_len"]))
-            for r in spark.read.parquet(f"{path}/doc_map")
+            for r in read_doc_map_live(spark, path)
             .select("url", "body_len", "title_len").collect()
         )
 
     assert url_stats(full_dir) == url_stats(inc_dir)
+
+    # incremental index_stats (old + delta - dead) must EXACTLY equal a
+    # fresh recompute over the live doc_map rows — ranking reads these
+    from pyspark.sql import functions as F
+
+    want_stats = sorted(
+        tuple(int(r[c]) for c in ("shard", "doc_count", "total_body",
+                                  "total_title", "total_url", "total_desc"))
+        for r in read_doc_map_live(spark, inc_dir).groupBy("shard").agg(
+            F.count("*").alias("doc_count"),
+            F.sum("body_len").alias("total_body"),
+            F.sum("title_len").alias("total_title"),
+            F.sum("url_len").alias("total_url"),
+            F.sum("desc_len").alias("total_desc"),
+        ).collect()
+    )
+    got_stats = sorted(
+        tuple(int(r[c]) for c in ("shard", "doc_count", "total_body",
+                                  "total_title", "total_url", "total_desc"))
+        for r in spark.read.parquet(f"{inc_dir}/index_stats").collect()
+    )
+    assert got_stats == want_stats
 
     # exact global document frequencies (dead docs subtracted)
     def global_df(path):
