@@ -17,17 +17,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: index a synthetic pages corpus, run a BM25 top-k query."""
+    import json
     import os
+    import shutil
 
     from mithril_spark.engine import SearchEngine
     from mithril_spark.fixtures import generate_pages, pages_to_df
     from mithril_spark.indexer import build_index
 
-    # versioned: older rounds' cached dirs have a different stage schema
-    index_dir = "/tmp/mithril_entry_index_r3"
-    if not os.path.exists(os.path.join(index_dir, "index_meta.json")):
+    # versioned TWICE over: the dir suffix is bumped whenever stage/image
+    # schema or fixtures change, and index_meta.entry_cache_version is
+    # checked so a stale cache from a same-named dir rebuilds instead of
+    # serving with defaulted fields (CLAUDE.md cache-suffix rule).
+    CACHE_VERSION = 5  # r5: tombstone-masked doc_map + LSM doc_ids era
+    index_dir = "/tmp/mithril_entry_index_r5"
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    cached_ok = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            cached_ok = json.load(f).get("entry_cache_version") == CACHE_VERSION
+    if not cached_ok:
+        shutil.rmtree(index_dir, ignore_errors=True)
         pages = pages_to_df(spark, generate_pages(120, seed=42))
         build_index(pages, index_dir, num_shards=2, pagerank=True)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["entry_cache_version"] = CACHE_VERSION
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2)
     engine = SearchEngine(spark, index_dir)
     results = engine.top_k_with_snippets("search engine")
     return spark.createDataFrame(
@@ -48,11 +65,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible ``queries()`` entry.
+    """DuckDB-equivalent SQL for EVERY ``queries()`` entry (26/26).
 
-    Entries registered with ``sql=None`` (stateful streaming, Python media
-    decoders) are omitted on purpose: the driver records the weaker
-    rows-only check for those, per the contract."""
+    The stateful-streaming entry reuses its provably-equal batch twin's
+    SQL; the media entries use pinned literal-VALUES relations
+    (mithril_spark/media_oracle_sql.py — sound because the media table is
+    seeded-deterministic and the decoders are independently gated)."""
     from mithril_spark.relational import QUERIES
 
     return {name: sql for name, (_fn, sql) in QUERIES.items()
