@@ -866,6 +866,63 @@ class SearchEngine:
                 agg[key] = agg.get(key, 0) + int(v)
         return merged[:k], agg
 
+    def _hit_positions(
+        self, terms: set[str], hit_ids: list[int]
+    ) -> dict[int, dict[str, list[int]]]:
+        """Per-hit-docid {term: body positions} via ONE pruned positions
+        fetch for the query's terms (VERDICT r04 #6): the resident term
+        store when available, else the LIMIT-capped pruned union collect.
+        Returns {} when the payload would be oversized (head terms) — the
+        caller degrades to the substring stage, exactly the positions-less
+        behavior. k hit docs means the decode work is one bounded pass
+        over the query terms' blocks; dead locals cannot collide with
+        hits (tombstoned ids are never reused — docid_watermark)."""
+        if not terms or not hit_ids:
+            return {}
+        from .codec import decode_position_block
+
+        shard_size = self.meta["shard_size"]
+        cap = max(self.max_payload_rows // 128, 512)
+        rows: list[tuple] = []  # (shard, term, salt, first, de, fe, ce, pe)
+        if self.max_payload_rows > 0 and self._driver_store is not None:
+            _post, pos, _dfs = self._driver_store
+            for t in terms:
+                for r in pos.get(t, ()):
+                    rows.append((r[0], t) + tuple(r[1:]))
+            if len(rows) > cap:
+                return {}
+        else:
+            collected = self._blocks_df(set(), terms).limit(cap + 1).collect()
+            if len(collected) > cap:
+                return {}
+            rows = [
+                (int(r["shard"]), r["term"], int(r["salt"]),
+                 int(r["first_doc_id"]), bytes(r["doc_ids_enc"]),
+                 bytes(r["flags_enc"]), bytes(r["pos_counts_enc"]),
+                 bytes(r["positions_enc"]))
+                for r in collected
+            ]
+        want_by_shard: dict[int, dict[int, int]] = {}
+        for gid in hit_ids:
+            s = gid // shard_size
+            want_by_shard.setdefault(s, {})[gid - s * shard_size] = gid
+        by_key: dict[tuple, list] = {}
+        for s, t, salt, fd, de, fe, ce, pe in rows:
+            if s in want_by_shard:
+                by_key.setdefault((s, t), []).append((salt, fd, de, fe, ce, pe))
+        out: dict[int, dict[str, list[int]]] = {}
+        for (s, t), blocks in by_key.items():
+            blocks.sort(key=lambda b: (b[0], b[1]))
+            locals_ = want_by_shard[s]
+            for _salt, _fd, de, fe, ce, pe in blocks:
+                docs, _flags, plists = decode_position_block(de, fe, ce, pe)
+                for i, d in enumerate(docs.tolist()):
+                    gid = locals_.get(d)
+                    if gid is not None and len(plists[i]):
+                        out.setdefault(gid, {})[t] = [
+                            int(x) for x in plists[i]]
+        return out
+
     def bm25_topk_with_snippets(
         self, query: str, k: int = 10
     ) -> list[tuple[int, float, bytes, list[bytes], str]]:
@@ -875,11 +932,13 @@ class SearchEngine:
 
         Hit urls/titles resolve with one pruned scan of the ``doc_map``
         table (doc_id IN pushes to parquet); document text comes from the
-        same url-sorted ``doc_text`` sidecar fetch. WAND carries no
-        positions, so snippet extraction enters generateSnippet's
-        preference order at the substring stage (Snippets.h:183-217 —
-        the reference's positions path is equally dormant without stored
-        offsets), with the document-head fallback after it."""
+        same url-sorted ``doc_text`` sidecar fetch. WAND itself carries no
+        positions, but the top-k docs' term positions are recovered with
+        one extra pruned positions fetch (``_hit_positions``, VERDICT r04
+        #6) so snippet extraction enters generateSnippet's preference
+        order at the positions stage like the flagship path
+        (Snippets.h:183-217); an oversized positions payload degrades to
+        the substring stage, then the document-head fallback."""
         from pyspark.sql import functions as F
 
         from .snippets import combined_text, generate_snippet
@@ -904,6 +963,7 @@ class SearchEngine:
                 for tok in query.split()
             ) if t
         ]
+        pos_by_doc = self._hit_positions(set(qterms), ids)
         out = []
         for doc_id, score in results:
             meta = meta_by_id.get(doc_id)
@@ -923,7 +983,9 @@ class SearchEngine:
                 bytes(row["text"]).decode("latin-1"),
             )
             out.append((
-                doc_id, score, url, title, generate_snippet(text, qterms)
+                doc_id, score, url, title,
+                generate_snippet(text, qterms,
+                                 positions=pos_by_doc.get(doc_id)),
             ))
         return out
 

@@ -121,3 +121,9 @@ def test_cogroup_matches_and_wand_agree_with_driver_path(
         assert co.top_k_many([q], with_positions=True) == \
             drv.top_k_many([q], with_positions=True), q
         assert co.top_k_with_snippets(q) == drv.top_k_with_snippets(q), q
+        # WAND snippets (positions recovered via _hit_positions) must be
+        # identical whether the positions payload comes from the resident
+        # store (drv) or the pruned collect (co, max_payload_rows=0 makes
+        # it degrade to substring only if oversized — not here)
+        assert co.bm25_topk_with_snippets(q, k=5) == \
+            drv.bm25_topk_with_snippets(q, k=5), q

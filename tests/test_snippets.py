@@ -115,10 +115,12 @@ def test_snippet_fetch_plan_prunes(spark, tmp_path_factory):
 
 
 def test_bm25_wand_snippets_match_oracle(spark, tmp_path_factory):
-    """bm25_topk_with_snippets (WAND path, VERDICT r03 #8): tuple shape and
-    snippet strings must equal an independent twin built from the oracle's
-    per-doc text with the same generate_snippet machinery (substring-first:
-    WAND carries no positions)."""
+    """bm25_topk_with_snippets (WAND path): tuple shape and snippet
+    strings must equal an independent twin built from the oracle's
+    per-doc text AND per-term positions with the same generate_snippet
+    machinery — positions-FIRST since VERDICT r04 #6 (the engine recovers
+    the top-k docs' positions with one pruned fetch), and for hits both
+    serving APIs return, the WAND snippet must equal the flagship one."""
     from mithril_spark.engine import SearchEngine
     from mithril_spark.fixtures import generate_pages, pages_to_df
     from mithril_spark.indexer import build_index
@@ -139,6 +141,7 @@ def test_bm25_wand_snippets_match_oracle(spark, tmp_path_factory):
         for local, meta in sh.doc_map.items():
             url_of_id[local + sh.base_doc_id] = meta.url
 
+    saw_positions_effect = False
     for q in ["search engine", "granite quartz marble", "thermite"]:
         got = engine.bm25_topk_with_snippets(q, k=8)
         plain = engine.bm25_topk(q, k=8)
@@ -157,4 +160,29 @@ def test_bm25_wand_snippets_match_oracle(spark, tmp_path_factory):
                 b" ".join(doc.desc_words).decode("latin-1"),
                 doc.text.decode("latin-1"),
             )
-            assert snip == generate_snippet(text, qterms), (q, url)
+            sh = next(s for s in oracle.shards
+                      if s.base_doc_id <= d < s.base_doc_id + s.doc_count)
+            positions = {}
+            for t in qterms:
+                p = sh.get_positions(t, d - sh.base_doc_id)
+                if len(p):
+                    positions[t] = [int(x) for x in p]
+            assert snip == generate_snippet(
+                text, qterms, positions=positions), (q, url)
+            if positions and snip != generate_snippet(text, qterms):
+                saw_positions_effect = True
+    # the positions stage must actually change at least one snippet vs the
+    # old substring-first behavior, or this twin proves nothing
+    assert saw_positions_effect
+
+    # flagship/WAND parity: for identical hits of token-identical queries,
+    # the two serving APIs emit the SAME snippet string
+    for q in ["search engine", "granite quartz marble"]:
+        wand = {bytes(u): sn
+                for _d, _s, u, _t, sn in engine.bm25_topk_with_snippets(q, k=10)}
+        flag = {bytes(u): sn
+                for _d, _s, u, _t, sn in engine.top_k_with_snippets(q)}
+        shared = set(wand) & set(flag)
+        assert shared, q
+        for u in shared:
+            assert wand[u] == flag[u], (q, u)
