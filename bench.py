@@ -231,6 +231,38 @@ def main() -> None:
 
     steps.append(("bm25_wand_zipf", wand_zipf_prepare, wand_zipf_run))
 
+    # --- worker-image churn at many shards (VERDICT r04 #4): a 16-shard
+    # index served via worker-resident images (driver tier disabled);
+    # after warmup, the per-query image-load delta should be ~0 — the
+    # byte-bounded LRU keeps every hot shard image resident per worker ---
+    def churn_prepare():
+        if "churn_engine" not in engine_box:
+            cdir = "/tmp/mithril_bench_index_churn"
+            shutil.rmtree(cdir, ignore_errors=True)
+            cdf = pages_to_df(spark, generate_pages(4000, seed=99))
+            build_index(cdf, cdir, num_shards=16, force=True)
+            engine_box["churn_engine"] = SearchEngine(
+                spark, cdir, driver_serve_bytes=0)
+        e = engine_box["churn_engine"]
+        for q in search_queries:  # warm the worker pool's images
+            e.top_k(q)
+        engine_box["churn0"] = e.image_load_stats()["loads"]
+
+    def churn_run():
+        e = engine_box["churn_engine"]
+        reps = 3
+        for _ in range(reps):
+            for q in search_queries:
+                e.top_k(q)
+        st = e.image_load_stats()
+        extras["image_loads_per_query"] = round(
+            (st["loads"] - engine_box["churn0"])
+            / (reps * len(search_queries)), 3)
+        extras["image_workers"] = st["workers"]
+        extras["image_resident"] = st["resident_images"]
+
+    steps.append(("search_16shard_churn", churn_prepare, churn_run))
+
     # --- match enumeration: vectorized set-algebra walk vs scalar ISR ---
     # (VERDICT r02 #1 deliverable: a >=100k-match query, speedup reported.)
     # Deterministic synthetic shard; modular posting patterns, no RNG.

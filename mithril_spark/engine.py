@@ -1063,6 +1063,47 @@ class SearchEngine:
                 }
         return by_url
 
+    def image_load_stats(self) -> dict:
+        """Worker-resident image cache diagnostics, summed across the
+        python workers serving this engine's shard partitions (one probe
+        task per partition, workers deduped by pid). ``loads`` only ever
+        grows, so the DELTA between two calls divided by the queries in
+        between is the image-churn rate (VERDICT r04 #4): ~0 steady-state
+        means doc-map images stay resident despite shards >> workers.
+        The probe must be a mapInPandas job: the SQL/Arrow runners keep
+        their own python worker pool, separate from the RDD API's, and
+        reuse hands idle workers out FIFO — so it sweeps the pool with
+        many tiny tasks and dedupes by pid."""
+        def probe(batches):
+            import os as _os
+
+            from mithril_spark import engine as _eng
+
+            for _pdf in batches:
+                pass
+            yield pd.DataFrame({
+                "pid": [_os.getpid()],
+                "loads": [_eng._IMAGE_LOADS],
+                "resident": [len(_eng._IMAGE_CACHE)],
+            })
+
+        n = max(64, 4 * self.spark.sparkContext.defaultParallelism)
+        rows = (
+            self.spark.range(n).repartition(n)
+            .mapInPandas(probe, "pid long, loads long, resident long")
+            .collect()
+        )
+        by_pid: dict[int, tuple] = {}
+        for r in rows:
+            by_pid[int(r["pid"])] = (int(r["loads"]), int(r["resident"]))
+        return {
+            "workers": len(by_pid),
+            "workers_with_images": sum(
+                1 for v in by_pid.values() if v[1] > 0),
+            "loads": sum(v[0] for v in by_pid.values()),
+            "resident_images": sum(v[1] for v in by_pid.values()),
+        }
+
     def matches(self, query: str) -> list[int]:
         """Global ascending matched docids (diagnostic / tests)."""
         posting_terms, position_terms, _ = plan_terms(query)

@@ -102,6 +102,30 @@ def test_worker_image_cache_is_lru(tmp_path, monkeypatch):
     assert engine._IMAGE_LOADS == 3
 
 
+def test_image_load_stats_plumbing(spark, corpus, tmp_path_factory):
+    """image_load_stats must report the worker pool's cache counters and
+    show image loads converging: the warm pool stops reloading parquet
+    once every (worker, shard) image is resident (byte-bounded LRU)."""
+    from mithril_spark.engine import SearchEngine
+
+    path = _index(spark, corpus, tmp_path_factory, 3)
+    e = SearchEngine(spark, path, driver_serve_bytes=0)  # worker images
+    e.top_k("search engine")
+    st1 = e.image_load_stats()
+    assert st1["loads"] >= 1 and st1["workers"] >= 1
+    # warm until every worker the pool schedules has its images
+    for _ in range(6):
+        e.top_k("search engine")
+        e.top_k("granite OR marble")
+    st2 = e.image_load_stats()
+    assert st2["loads"] >= st1["loads"]  # monotonic
+    for _ in range(3):
+        e.top_k("search engine")
+    st3 = e.image_load_stats()
+    # steady state: at most one stray load (a fresh worker joining late)
+    assert st3["loads"] - st2["loads"] <= 1, (st2, st3)
+
+
 def test_cogroup_matches_and_wand_agree_with_driver_path(
     spark, corpus, oracle_pages, tmp_path_factory
 ):
