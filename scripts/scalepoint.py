@@ -1,0 +1,105 @@
+"""Second measured point on the corpus-size curve (VERDICT r04 #7).
+
+All headline bench numbers are sf0.1 / 20k pages; this script measures
+index_build throughput and flagship serving latency at 20k AND 100k pages
+in temporally-alternating pairs (the shared-VM tenancy protocol of
+scripts/scaling.py), so the 100x extrapolation argument has two measured
+corpus scales instead of one.
+
+Usage: python scripts/scalepoint.py [reps] [cpus]
+Writes benchres/scalepoint.json; summarize the result as a table row in
+BENCH.md (the script prints one).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SIZES = [20_000, 100_000]
+QUERIES = ["search engine", "title:engine", "spark shuffle partition",
+           "granite OR marble", "NOT quartz"]
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from mithril_spark.engine import SearchEngine
+    from mithril_spark.fixtures import generate_pages_df
+    from mithril_spark.indexer import build_index
+    from mithril_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="mithril-scalepoint")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpora = {}
+    for n in SIZES:
+        path = f"/tmp/mithril_scalepoint_corpus_{n}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            generate_pages_df(spark, n, seed=42).write.mode(
+                "overwrite").parquet(path)
+        # same input-partitioning posture as bench.py (cpus/2 extraction
+        # concurrency: memory bandwidth saturates ~16 busy cores)
+        corpora[n] = (
+            spark.read.parquet(path).repartition(max(8, cpus // 2)).cache()
+        )
+        corpora[n].count()
+
+    runs: dict[int, list[dict]] = {n: [] for n in SIZES}
+    for rep in range(reps):
+        for n in SIZES:
+            idx = f"/tmp/mithril_scalepoint_idx_{n}"
+            shutil.rmtree(idx, ignore_errors=True)
+            t0 = time.time()
+            build_index(corpora[n], idx, num_shards=4, force=True)
+            build_s = time.time() - t0
+            engine = SearchEngine(spark, idx)
+            engine.top_k(QUERIES[0])  # warm
+            t0 = time.time()
+            for q in QUERIES:
+                engine.top_k(q)
+            search_s = time.time() - t0
+            rec = {
+                "rep": rep, "n_pages": n,
+                "build_s": round(build_s, 2),
+                "docs_per_sec": round(n / build_s, 1),
+                "search_s_per_q": round(search_s / len(QUERIES), 3),
+            }
+            runs[n].append(rec)
+            print(rec, flush=True)
+
+    summary = {
+        n: {
+            "docs_per_sec_best": max(r["docs_per_sec"] for r in runs[n]),
+            "search_s_per_q_best": min(r["search_s_per_q"] for r in runs[n]),
+        }
+        for n in SIZES
+    }
+    # per-pair throughput ratio: how much of the small-corpus rate survives
+    # a 5x corpus (fixed-overhead amortization means >1.0 is possible)
+    pair_ratio = [
+        round(b["docs_per_sec"] / a["docs_per_sec"], 3)
+        for a, b in zip(runs[SIZES[0]], runs[SIZES[1]])
+    ]
+    out = {"runs": runs, "summary": summary,
+           "pair_throughput_ratio_100k_vs_20k": pair_ratio,
+           "cpus": cpus, "reps": reps}
+    os.makedirs(os.path.join(ROOT, "benchres"), exist_ok=True)
+    with open(os.path.join(ROOT, "benchres/scalepoint.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    a, b = summary[SIZES[0]], summary[SIZES[1]]
+    print(f"| 20k pages | {a['docs_per_sec_best']:,.0f} | "
+          f"{a['search_s_per_q_best']:.3f} |")
+    print(f"| 100k pages | {b['docs_per_sec_best']:,.0f} | "
+          f"{b['search_s_per_q_best']:.3f} |")
+
+
+if __name__ == "__main__":
+    main()
