@@ -113,17 +113,22 @@ def test_image_load_stats_plumbing(spark, corpus, tmp_path_factory):
     e.top_k("search engine")
     st1 = e.image_load_stats()
     assert st1["loads"] >= 1 and st1["workers"] >= 1
+    assert st1["resident_images"] >= 1
     # warm until every worker the pool schedules has its images
     for _ in range(6):
         e.top_k("search engine")
         e.top_k("granite OR marble")
     st2 = e.image_load_stats()
-    assert st2["loads"] >= st1["loads"]  # monotonic
     for _ in range(3):
         e.top_k("search engine")
     st3 = e.image_load_stats()
-    # steady state: at most one stray load (a fresh worker joining late)
-    assert st3["loads"] - st2["loads"] <= 1, (st2, st3)
+    # steady state: resident images serve without reloading. Python
+    # workers are NOT immortal (idle reaping in long sessions kills a
+    # counter and a replacement reloads its shards), so the bound is
+    # "at most one worker's worth of reloads", not zero — the tight ~0
+    # number is bench.py's warmed search_16shard_churn measurement.
+    delta = st3["loads"] - st2["loads"]
+    assert delta <= 3, (st2, st3)  # <= n_shards (one replaced worker)
 
 
 def test_cogroup_matches_and_wand_agree_with_driver_path(
