@@ -244,8 +244,17 @@ def main() -> None:
             engine_box["churn_engine"] = SearchEngine(
                 spark, cdir, driver_serve_bytes=0)
         e = engine_box["churn_engine"]
-        for q in search_queries:  # warm the worker pool's images
-            e.top_k(q)
+        # warm to STEADY STATE: with W workers and S shards there are W*S
+        # (worker, shard) first-hit loads before the pool is fully
+        # resident — loop until a full query sweep stops loading
+        prev = e.image_load_stats()["loads"]
+        for _ in range(12):
+            for q in search_queries:
+                e.top_k(q)
+            cur = e.image_load_stats()["loads"]
+            if cur - prev <= 1:
+                break
+            prev = cur
         engine_box["churn0"] = e.image_load_stats()["loads"]
 
     def churn_run():
