@@ -46,6 +46,11 @@ def main() -> None:
                     default="auto")
     ap.add_argument("--pagerank", action="store_true",
                     help="refresh PageRank (forces recompaction)")
+    ap.add_argument("--auto-compact-frac", type=float, default=0.02,
+                    help="compact when tombstones exceed this corpus "
+                         "fraction (0 disables the guard)")
+    ap.add_argument("--auto-compact-min", type=int, default=100_000,
+                    help="absolute tombstone floor for the guard")
     ap.add_argument("--cores", type=int, default=None,
                     help="local[] cores; omit under spark-submit on a cluster")
     args = ap.parse_args()
@@ -71,19 +76,25 @@ def main() -> None:
         ap.error("need exactly one of --pages / --extracted (or --compact)")
         return
     else:
+        guard = {
+            "auto_compact_tombstone_frac": args.auto_compact_frac or None,
+            "auto_compact_min_tombstones": args.auto_compact_min,
+        }
         if args.pages:
             res = merge_index_delta(
                 args.index, new_pages=spark.read.parquet(args.pages),
-                mode=args.mode, pagerank=args.pagerank)
+                mode=args.mode, pagerank=args.pagerank, **guard)
         else:
             res = merge_index_delta(
                 args.index, extracted=spark.read.parquet(args.extracted),
-                mode=args.mode, pagerank=args.pagerank)
+                mode=args.mode, pagerank=args.pagerank, **guard)
     dt = time.time() - t0
     phases = {p["phase"]: round(p.get("finished", 0.0) - p["started"], 2)
               for p in res["phases"]}
     out = {"mode": res["mode"], "seconds": round(dt, 2),
            "total_docs": res["meta"]["total_docs"], "phases": phases}
+    if res.get("compacted"):
+        out["compacted"] = True
     tomb = next((p.get("replaced_docs") for p in res["phases"]
                  if p["phase"] == "tombstones"), None)
     if tomb is not None:

@@ -85,15 +85,33 @@ def _image_dict(pdf: pd.DataFrame) -> dict:
     took minutes of Python and GBs; the columnar image builds in Arrow/numpy
     time and serves ranking lookups with one ``searchsorted`` per batch.
     """
+    from .ranking import (
+        _ASCII_LOWER_STR,
+        ascii_lower,
+        contains_porn_keywords,
+        contains_porn_keywords_any,
+    )
+
     order = np.argsort(pdf["local_id"].to_numpy(), kind="stable")
     pdf = pdf.iloc[order]
     n = len(pdf)
     has_srank = "static_rank" in pdf.columns  # absent in pre-r2 indexes
     titles = [[bytes(t) for t in tw] for tw in pdf["title"]]
+    urls = [bytes(u) for u in pdf["url"]]
+    # Doc-only ranking precomputes (pure functions of url/title), paid
+    # ONCE per cached image instead of per match per query: decoded +
+    # ascii-lowered urls, lowered title words/concat, porn-filter mask.
+    # handle_ranking consumes them through DocMapCols; the oracle path
+    # computes the same values inline — rank-identity gates both forms.
+    urls_dec = [u.decode("latin-1") for u in urls]
+    titles_low = [
+        [t.decode("latin-1").translate(_ASCII_LOWER_STR) for t in tw]
+        for tw in titles
+    ]
     return {
         "v": 2,
         "local_ids": pdf["local_id"].to_numpy(dtype=np.int64),
-        "urls": [bytes(u) for u in pdf["url"]],
+        "urls": urls,
         "titles": titles,
         "title_counts": np.fromiter((len(tw) for tw in titles), np.int64, n),
         "body_lens": pdf["body_len"].to_numpy(dtype=np.int64),
@@ -104,6 +122,13 @@ def _image_dict(pdf: pd.DataFrame) -> dict:
         "static_ranks": (
             pdf["static_rank"].to_numpy(dtype=np.float64) if has_srank else None
         ),
+        "urls_dec": urls_dec,
+        "urls_low": [ascii_lower(u) for u in urls_dec],
+        "titles_low": titles_low,
+        "title_concat_low": ["".join(tl) for tl in titles_low],
+        "porn_mask": np.fromiter(
+            (contains_porn_keywords_any(tw) or contains_porn_keywords(u)
+             for tw, u in zip(titles, urls)), bool, n),
     }
 
 
@@ -140,13 +165,18 @@ _IMAGE_LOADS = 0  # parquet loads in this worker (churn diagnostic)
 
 
 def _image_nbytes(img: dict) -> int:
-    """Estimated resident bytes of one image (numpy + payload + overhead)."""
+    """Estimated resident bytes of one image (numpy + payload + overhead),
+    including the doc-only ranking precompute lists."""
     n = 0
     for v in img.values():
         if isinstance(v, np.ndarray):
             n += v.nbytes
-    n += sum(len(u) + 64 for u in img["urls"])
-    n += sum(len(t) + 64 for tw in img["titles"] for t in tw)
+        elif isinstance(v, list):
+            for x in v:
+                if isinstance(x, (bytes, str)):
+                    n += len(x) + 64
+                elif isinstance(x, list):
+                    n += sum(len(t) + 64 for t in x)
     return n
 
 
@@ -197,6 +227,10 @@ def _docmap_cols(img: dict) -> DocMapCols:
         img["title_lens"], img["url_lens"], img["desc_lens"],
         img["pageranks"], img["static_ranks"],
         title_counts=img.get("title_counts"),
+        urls_dec=img.get("urls_dec"), urls_low=img.get("urls_low"),
+        titles_low=img.get("titles_low"),
+        title_concat_low=img.get("title_concat_low"),
+        porn_mask=img.get("porn_mask"),
     )
 
 

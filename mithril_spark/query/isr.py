@@ -78,11 +78,13 @@ class DocMapCols:
 
     __slots__ = ("local_ids", "urls", "titles", "title_counts", "body_lens",
                  "title_lens", "url_lens", "desc_lens", "pageranks",
-                 "static_ranks")
+                 "static_ranks", "urls_dec", "urls_low", "titles_low",
+                 "title_concat_low", "porn_mask")
 
     def __init__(self, local_ids, urls, titles, body_lens, title_lens,
                  url_lens, desc_lens, pageranks, static_ranks,
-                 title_counts=None):
+                 title_counts=None, urls_dec=None, urls_low=None,
+                 titles_low=None, title_concat_low=None, porn_mask=None):
         self.local_ids = np.asarray(local_ids, dtype=np.int64)  # sorted asc
         self.urls = urls          # list[bytes], aligned
         self.titles = titles      # list[list[bytes]], aligned
@@ -102,6 +104,20 @@ class DocMapCols:
         self.static_ranks = (
             None if static_ranks is None
             else np.asarray(static_ranks, dtype=np.float64)
+        )
+        # Optional doc-only ranking precomputes, cached per shard image by
+        # the engine (engine._image_dict) so per-query ranking skips the
+        # per-match decode / ascii-lower / porn-regex work — pure
+        # functions of the doc, so results are identical with or without
+        # them (tests/test_vec_match.py rank-identity gates both forms).
+        # All None on oracle-built shards (inline compute fallback).
+        self.urls_dec = urls_dec              # list[str] latin-1 decoded
+        self.urls_low = urls_low              # list[str] ascii-lowered
+        self.titles_low = titles_low          # list[list[str]] lowered words
+        self.title_concat_low = title_concat_low  # list[str] lowered concat
+        self.porn_mask = (
+            None if porn_mask is None
+            else np.asarray(porn_mask, dtype=bool)
         )
 
     def __len__(self) -> int:

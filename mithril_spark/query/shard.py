@@ -400,20 +400,24 @@ def handle_ranking(
         entries: list[tuple[int, object]] = []
         if cols is not None:
             # columnar image: one searchsorted resolves the whole chunk,
-            # numeric columns gather by row index (no per-match dict probes)
+            # numeric columns gather by row index (no per-match dict
+            # probes); images carrying doc-only precomputes (porn mask,
+            # decoded/lowered strings — engine._image_dict) skip the
+            # per-match regex/decode/lower work entirely
             c_arr = np.asarray(chunk, dtype=np.int64)
             ridx, found = cols.gather(c_arr)
+            pmask = cols.porn_mask
             sel_rows: list[int] = []
             m_list: list[int] = []
             for m, ok, i in zip(c_arr.tolist(), found.tolist(), ridx.tolist()):
                 if not ok:
                     entries.append((m, None))
                     continue
-                url_b = cols.urls[i]
-                title = cols.titles[i]
-                if contains_porn_keywords_any(title) or contains_porn_keywords(url_b):
+                if (pmask[i] if pmask is not None else
+                        (contains_porn_keywords_any(cols.titles[i])
+                         or contains_porn_keywords(cols.urls[i]))):
                     continue
-                entries.append((m, (url_b, title)))
+                entries.append((m, (cols.urls[i], cols.titles[i])))
                 sel_rows.append(i)
                 m_list.append(m)
             nsc = len(sel_rows)
@@ -421,11 +425,23 @@ def handle_ranking(
             if scored:
                 rows = np.asarray(sel_rows, dtype=np.int64)
                 m_arr = np.asarray(m_list, dtype=np.int64)
-                urls = [cols.urls[i].decode("latin-1") for i in sel_rows]
-                title_words_list = [
-                    [t.decode("latin-1") for t in cols.titles[i]]
-                    for i in sel_rows
-                ]
+                if cols.urls_dec is not None:
+                    urls = [cols.urls_dec[i] for i in sel_rows]
+                    urls_low = [cols.urls_low[i] for i in sel_rows]
+                    # pre-lowered words: ordered_match_score's lowering is
+                    # idempotent, and the concat equals ascii_lower(concat)
+                    title_words_list = [cols.titles_low[i] for i in sel_rows]
+                    title_concats = [
+                        cols.title_concat_low[i] for i in sel_rows]
+                else:
+                    urls = [cols.urls[i].decode("latin-1") for i in sel_rows]
+                    urls_low = None
+                    title_words_list = [
+                        [t.decode("latin-1") for t in cols.titles[i]]
+                        for i in sel_rows
+                    ]
+                    title_concats = [
+                        ascii_lower("".join(tw)) for tw in title_words_list]
                 title_sizes = cols.title_counts[rows]
                 body_lens = cols.body_lens[rows]
                 pageranks = cols.pageranks[rows]
@@ -450,10 +466,13 @@ def handle_ranking(
             if scored:
                 m_arr = np.fromiter((m for m, _ in scored_metas), np.int64, nsc)
                 urls = [meta.url.decode("latin-1") for _, meta in scored_metas]
+                urls_low = None
                 title_words_list = [
                     [t.decode("latin-1") for t in meta.title]
                     for _, meta in scored_metas
                 ]
+                title_concats = [
+                    ascii_lower("".join(tw)) for tw in title_words_list]
                 title_sizes = np.fromiter(
                     (len(meta.title) for _, meta in scored_metas), np.int64, nsc)
                 body_lens = np.fromiter(
@@ -468,7 +487,6 @@ def handle_ranking(
 
         scores = None
         if scored:
-            title_concats = [ascii_lower("".join(tw)) for tw in title_words_list]
             tf_by_term: dict[str, np.ndarray] = {}
             first_by_term: dict[str, np.ndarray] = {}
             in_desc_by_term: dict[str, np.ndarray] = {}
@@ -493,6 +511,7 @@ def handle_ranking(
                 in_desc_by_term=in_desc_by_term,
                 static_ranks=static_ranks, pageranks=pageranks,
                 pagerank_weight=shard.pagerank_weight,
+                urls_low=urls_low,
             )
 
         # replay the reference loop's counters over the score sequence

@@ -273,26 +273,33 @@ def get_url_dynamic_rank(features: dict, pagerank_weight: float | None = None) -
     return int(final) & 0xFFFFFFFF
 
 
+_ASCII_LOWER_STR = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
 def ordered_match_score(q_tokens: list[tuple[str, int]], t_tokens: list[str]) -> float:
     """OrderedMatchScore (DynamicRanker.cpp:74-95).
 
     Quirk preserved: the prefix test checks that the *query token* starts with
-    the lowered title token (prefix=title-token, word=query-token).
-    """
+    the lowered title token (prefix=title-token, word=query-token). The
+    lowering is ``str.translate`` of A-Z only (identical to the reference's
+    per-char ::tolower) and the walk breaks once every query token matched —
+    later title tokens cannot change q_idx, so the early exit is exact.
+    Idempotent under pre-lowered titles (the engine's cached shard images
+    store title words already ascii-lowered)."""
     q_len = len(q_tokens)
+    if q_len == 0:
+        return 0.0
     q_idx = 0
     for token in t_tokens:
-        lowered = "".join(c.lower() if "A" <= c <= "Z" else c for c in token)
-        if q_idx < q_len:
-            word = q_tokens[q_idx][0]
-            if len(word) >= len(lowered) and word.startswith(lowered):
-                q_idx += 1
-    return float(q_idx) / float(q_len) if q_len > 0 else 0.0
-
-
-_ASCII_LOWER_STR = str.maketrans(
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
-)
+        if q_idx >= q_len:
+            break
+        lowered = token.translate(_ASCII_LOWER_STR)
+        word = q_tokens[q_idx][0]
+        if len(word) >= len(lowered) and word.startswith(lowered):
+            q_idx += 1
+    return float(q_idx) / float(q_len)
 
 
 def ascii_lower(s: str) -> str:
@@ -574,6 +581,7 @@ def final_score_batch(
     static_ranks,
     pageranks,
     pagerank_weight: float | None = None,
+    urls_low: list[str] | None = None,
 ) -> "np.ndarray":
     """GetFinalScore over a batch of matched docs; returns uint32 scores.
 
@@ -581,7 +589,9 @@ def final_score_batch(
     and first position per doc (0 where absent / no pointer — matching the
     scalar path's empty-positions convention); ``in_desc_by_term[t]`` is the
     %t presence bool. Missing term keys mean "no position pointer" (all 0 /
-    False), mirroring SetupPositionIndexPointers.
+    False), mirroring SetupPositionIndexPointers. ``urls_low`` optionally
+    supplies pre-ascii-lowered urls (the engine caches them per shard
+    image); absent, they are lowered here — identical either way.
     """
     n = len(urls)
     if n == 0:
@@ -592,7 +602,9 @@ def final_score_batch(
     _false = np.zeros(n, dtype=bool)
 
     url_raw = np.asarray(urls, dtype=np.str_)
-    url_low = np.asarray([ascii_lower(u) for u in urls], dtype=np.str_)
+    url_low = np.asarray(
+        urls_low if urls_low is not None
+        else [ascii_lower(u) for u in urls], dtype=np.str_)
     title_low = np.asarray(title_concats, dtype=np.str_)
     len_url = np.char.str_len(url_raw).astype(np.int64)
     title_sizes = np.asarray(title_sizes, dtype=np.int64)
