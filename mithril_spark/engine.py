@@ -123,6 +123,7 @@ def _image_dict(pdf: pd.DataFrame) -> dict:
             pdf["static_rank"].to_numpy(dtype=np.float64) if has_srank else None
         ),
         "urls_dec": urls_dec,
+        "url_str_lens": np.fromiter((len(u) for u in urls_dec), np.int64, n),
         "urls_low": [ascii_lower(u) for u in urls_dec],
         "titles_low": titles_low,
         "title_concat_low": ["".join(tl) for tl in titles_low],
@@ -231,6 +232,7 @@ def _docmap_cols(img: dict) -> DocMapCols:
         titles_low=img.get("titles_low"),
         title_concat_low=img.get("title_concat_low"),
         porn_mask=img.get("porn_mask"),
+        url_str_lens=img.get("url_str_lens"),
     )
 
 

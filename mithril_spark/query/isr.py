@@ -79,12 +79,13 @@ class DocMapCols:
     __slots__ = ("local_ids", "urls", "titles", "title_counts", "body_lens",
                  "title_lens", "url_lens", "desc_lens", "pageranks",
                  "static_ranks", "urls_dec", "urls_low", "titles_low",
-                 "title_concat_low", "porn_mask")
+                 "title_concat_low", "porn_mask", "url_str_lens")
 
     def __init__(self, local_ids, urls, titles, body_lens, title_lens,
                  url_lens, desc_lens, pageranks, static_ranks,
                  title_counts=None, urls_dec=None, urls_low=None,
-                 titles_low=None, title_concat_low=None, porn_mask=None):
+                 titles_low=None, title_concat_low=None, porn_mask=None,
+                 url_str_lens=None):
         self.local_ids = np.asarray(local_ids, dtype=np.int64)  # sorted asc
         self.urls = urls          # list[bytes], aligned
         self.titles = titles      # list[list[bytes]], aligned
@@ -118,6 +119,10 @@ class DocMapCols:
         self.porn_mask = (
             None if porn_mask is None
             else np.asarray(porn_mask, dtype=bool)
+        )
+        self.url_str_lens = (
+            None if url_str_lens is None
+            else np.asarray(url_str_lens, dtype=np.int64)
         )
 
     def __len__(self) -> int:

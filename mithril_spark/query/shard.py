@@ -433,6 +433,10 @@ def handle_ranking(
                     title_words_list = [cols.titles_low[i] for i in sel_rows]
                     title_concats = [
                         cols.title_concat_low[i] for i in sel_rows]
+                    titles_pre_lowered = True
+                    url_str_lens = (
+                        cols.url_str_lens[rows]
+                        if cols.url_str_lens is not None else None)
                 else:
                     urls = [cols.urls[i].decode("latin-1") for i in sel_rows]
                     urls_low = None
@@ -442,6 +446,8 @@ def handle_ranking(
                     ]
                     title_concats = [
                         ascii_lower("".join(tw)) for tw in title_words_list]
+                    titles_pre_lowered = False
+                    url_str_lens = None
                 title_sizes = cols.title_counts[rows]
                 body_lens = cols.body_lens[rows]
                 pageranks = cols.pageranks[rows]
@@ -473,6 +479,8 @@ def handle_ranking(
                 ]
                 title_concats = [
                     ascii_lower("".join(tw)) for tw in title_words_list]
+                titles_pre_lowered = False
+                url_str_lens = None
                 title_sizes = np.fromiter(
                     (len(meta.title) for _, meta in scored_metas), np.int64, nsc)
                 body_lens = np.fromiter(
@@ -511,7 +519,8 @@ def handle_ranking(
                 in_desc_by_term=in_desc_by_term,
                 static_ranks=static_ranks, pageranks=pageranks,
                 pagerank_weight=shard.pagerank_weight,
-                urls_low=urls_low,
+                urls_low=urls_low, titles_pre_lowered=titles_pre_lowered,
+                url_str_lens=url_str_lens,
             )
 
         # replay the reference loop's counters over the score sequence

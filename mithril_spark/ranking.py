@@ -278,7 +278,8 @@ _ASCII_LOWER_STR = str.maketrans(
 )
 
 
-def ordered_match_score(q_tokens: list[tuple[str, int]], t_tokens: list[str]) -> float:
+def ordered_match_score(q_tokens: list[tuple[str, int]], t_tokens: list[str],
+                        pre_lowered: bool = False) -> float:
     """OrderedMatchScore (DynamicRanker.cpp:74-95).
 
     Quirk preserved: the prefix test checks that the *query token* starts with
@@ -295,7 +296,7 @@ def ordered_match_score(q_tokens: list[tuple[str, int]], t_tokens: list[str]) ->
     for token in t_tokens:
         if q_idx >= q_len:
             break
-        lowered = token.translate(_ASCII_LOWER_STR)
+        lowered = token if pre_lowered else token.translate(_ASCII_LOWER_STR)
         word = q_tokens[q_idx][0]
         if len(word) >= len(lowered) and word.startswith(lowered):
             q_idx += 1
@@ -582,6 +583,8 @@ def final_score_batch(
     pageranks,
     pagerank_weight: float | None = None,
     urls_low: list[str] | None = None,
+    titles_pre_lowered: bool = False,
+    url_str_lens=None,
 ) -> "np.ndarray":
     """GetFinalScore over a batch of matched docs; returns uint32 scores.
 
@@ -589,9 +592,12 @@ def final_score_batch(
     and first position per doc (0 where absent / no pointer — matching the
     scalar path's empty-positions convention); ``in_desc_by_term[t]`` is the
     %t presence bool. Missing term keys mean "no position pointer" (all 0 /
-    False), mirroring SetupPositionIndexPointers. ``urls_low`` optionally
-    supplies pre-ascii-lowered urls (the engine caches them per shard
-    image); absent, they are lowered here — identical either way.
+    False), mirroring SetupPositionIndexPointers. ``urls_low`` /
+    ``titles_pre_lowered`` / ``url_str_lens`` let the engine supply its
+    per-shard-image doc-only precomputes (lowered strings, decoded url
+    lengths); absent, they are computed here — identical either way
+    (lowering is idempotent; str_len of a latin-1 decode equals the byte
+    length).
     """
     n = len(urls)
     if n == 0:
@@ -602,11 +608,15 @@ def final_score_batch(
     _false = np.zeros(n, dtype=bool)
 
     url_raw = np.asarray(urls, dtype=np.str_)
-    url_low = np.asarray(
+    url_low_list = (
         urls_low if urls_low is not None
-        else [ascii_lower(u) for u in urls], dtype=np.str_)
+        else [ascii_lower(u) for u in urls])
+    url_low = np.asarray(url_low_list, dtype=np.str_)
     title_low = np.asarray(title_concats, dtype=np.str_)
-    len_url = np.char.str_len(url_raw).astype(np.int64)
+    len_url = (
+        np.asarray(url_str_lens, dtype=np.int64)
+        if url_str_lens is not None
+        else np.char.str_len(url_raw).astype(np.int64))
     title_sizes = np.asarray(title_sizes, dtype=np.int64)
     body_lens = np.asarray(body_lens, dtype=np.int64)
 
@@ -665,9 +675,15 @@ def final_score_batch(
                 words_in_url = np.where(
                     m_url, words_in_url + f32(1.0), words_in_url
                 )
-                url_occ = np.minimum(
-                    np.char.count(url_low, term) * len(term), len_url
-                )
+                # density contributions are masked by m_url/m_title, so the
+                # substring COUNTS only matter at matching rows — computed
+                # sparsely with str.count (identical to np.char.count)
+                # instead of a full _vec_string pass over the batch
+                url_occ = np.zeros(n, dtype=np.int64)
+                nz = np.flatnonzero(m_url)
+                for i in nz.tolist():
+                    url_occ[i] = url_low_list[i].count(term)
+                url_occ = np.minimum(url_occ * len(term), len_url)
                 du = (url_occ.astype(f32) / len_url.astype(f32)) * mult_frac
                 density_url = np.where(m_url, density_url + du, density_url)
 
@@ -678,9 +694,11 @@ def final_score_batch(
                 earliest_pos_title = np.where(
                     m_title, earliest_pos_title + et, earliest_pos_title
                 )
-                title_occ = np.minimum(
-                    np.char.count(title_low, term), title_sizes
-                )
+                title_occ = np.zeros(n, dtype=np.int64)
+                nz = np.flatnonzero(m_title)
+                for i in nz.tolist():
+                    title_occ[i] = title_concats[i].count(term)
+                title_occ = np.minimum(title_occ, title_sizes)
                 dt = (title_occ.astype(f32) / title_sizes.astype(f32)) * mult_frac
                 density_title = np.where(
                     m_title, density_title + dt, density_title
@@ -727,7 +745,8 @@ def final_score_batch(
             scan(stopword_idx, gate)
 
         ordered = np.fromiter(
-            (math.sqrt(ordered_match_score(tokens, tw))
+            (math.sqrt(ordered_match_score(tokens, tw,
+                                           pre_lowered=titles_pre_lowered))
              for tw in title_words_list),
             dtype=np.float32, count=n,
         )

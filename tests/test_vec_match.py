@@ -269,6 +269,8 @@ def _to_cols(shard: ShardIndex, precompute: bool = False) -> ShardIndex:
         ]
         extra = dict(
             urls_dec=urls_dec,
+            url_str_lens=np.fromiter(
+                (len(u) for u in urls_dec), np.int64, len(urls_dec)),
             urls_low=[ascii_lower(u) for u in urls_dec],
             titles_low=titles_low,
             title_concat_low=["".join(tl) for tl in titles_low],
