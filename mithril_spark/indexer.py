@@ -1153,37 +1153,38 @@ def _append_delta_derived(
     docs = delta.join(F.broadcast(ids_delta), "url")
 
     # --- re-crawled urls: tombstone the OLD docids (LSM delete) ---
+    # Fully distributed (VERDICT r04 nit: the old path collect()ed every
+    # replaced id row to the driver — delta-bounded but needlessly so):
+    # the replaced set is materialized ONCE to a tmp parquet (doc_ids ⋈
+    # delta urls, anti-⋈ existing tombstones so only the LIVE row of a
+    # twice-re-crawled url dies) and every consumer — the tombstone
+    # append, the stats subtraction, the dead-term df/cf subtraction —
+    # joins against that tmp table. Nothing about the delta ever
+    # round-trips through the driver beyond a count.
     m = phase("tombstones")
     ids_path = os.path.join(out_dir, "doc_ids")
+    tomb_path = os.path.join(out_dir, "tombstones")
     replaced = (
         spark.read.parquet(ids_path)
         .join(F.broadcast(delta.select("url")), "url")
         .select("url", "doc_id", "shard", "local_id")
     )
-    # doc_ids is append-only under the LSM layout: a twice-re-crawled url
-    # has its dead row(s) still on disk, so ids already tombstoned by an
-    # earlier merge are excluded — only the LIVE row dies this merge.
-    # Driver-side set filter: both sides are delta/tombstone-bounded (the
-    # auto-compaction guard keeps the tombstone table small).
-    tomb_path = os.path.join(out_dir, "tombstones")
-    existing_tomb: set = set()
     if os.path.isdir(tomb_path) and _dir_parquet_bytes(tomb_path):
-        existing_tomb = {
-            (int(r["shard"]), int(r["local_id"]))
-            for r in spark.read.parquet(tomb_path).collect()
-        }
-    replaced_rows = [
-        r for r in replaced.collect()
-        if (int(r["shard"]), int(r["local_id"])) not in existing_tomb
-    ]
-    n_replaced = len(replaced_rows)
-    dead_gids = [int(r["doc_id"]) for r in replaced_rows]
+        replaced = replaced.join(
+            spark.read.parquet(tomb_path).select("shard", "local_id"),
+            ["shard", "local_id"], "left_anti",
+        )
+    tomb_tmp = os.path.join(out_dir, "_tombstones_delta")
+    replaced.write.mode("overwrite").parquet(tomb_tmp)
+    replaced_df = spark.read.parquet(tomb_tmp)
+    n_replaced = replaced_df.count()
     m["replaced_docs"] = n_replaced
     if n_replaced:
-        spark.createDataFrame(
-            [(int(r["shard"]), int(r["local_id"])) for r in replaced_rows],
-            "shard int, local_id long",
-        ).coalesce(1).write.mode("append").parquet(tomb_path)
+        (
+            replaced_df.select("shard", "local_id")
+            .coalesce(max(1, n_replaced // 5_000_000 + 1))
+            .write.mode("append").parquet(tomb_path)
+        )
     m["finished"] = time.time() - t_start
 
     # --- doc_map: APPEND-ONLY under the LSM layout (VERDICT r04 #1) —
@@ -1223,10 +1224,10 @@ def _append_delta_derived(
     )
     if n_replaced:
         # subtract the dead docs' contributions, read from their (still
-        # on-disk) doc_map rows — a pruned IN-list scan, O(delta) rows
+        # on-disk) doc_map rows — a broadcast semi-join, O(delta) rows
         stats_parts = stats_parts.unionByName(
             spark.read.parquet(doc_map_path)
-            .filter(F.col("doc_id").isin(dead_gids))
+            .join(F.broadcast(replaced_df.select("doc_id")), "doc_id")
             .groupBy("shard")
             .agg(
                 (-F.count("*")).alias("doc_count"),
@@ -1285,12 +1286,9 @@ def _append_delta_derived(
         F.sum("doc_count").alias("df"), F.sum("freq_sum").alias("cf")
     )
     if n_replaced:
-        dead_map = spark.createDataFrame(
-            [(bytes(r["url"]), int(r["shard"])) for r in replaced_rows],
-            "url binary, shard int",
-        )
         dead_term = (
-            old_stage.join(F.broadcast(dead_map), "url")
+            old_stage.join(
+                F.broadcast(replaced_df.select("url", "shard")), "url")
             .select("shard", F.explode(F.arrays_zip("terms", "freqs")).alias("t"))
             .select("shard", F.col("t.terms").alias("term"),
                     F.col("t.freqs").alias("freq"))
@@ -1388,6 +1386,7 @@ def _append_delta_derived(
     m["ran"] = True
     m["finished"] = time.time() - t_start
     shutil.rmtree(ids_stage, ignore_errors=True)
+    shutil.rmtree(tomb_tmp, ignore_errors=True)
     new_total = total_docs + n_delta - n_replaced
     with open(os.path.join(out_dir, "_assign_meta.json")) as f:
         assign_meta = json.load(f)
