@@ -608,10 +608,11 @@ def final_score_batch(
     _false = np.zeros(n, dtype=bool)
 
     url_raw = np.asarray(urls, dtype=np.str_)
+    # lowered urls are only read SPARSELY (density counts at matching
+    # rows), so they stay a python list — no UCS4 array materialization
     url_low_list = (
         urls_low if urls_low is not None
         else [ascii_lower(u) for u in urls])
-    url_low = np.asarray(url_low_list, dtype=np.str_)
     title_low = np.asarray(title_concats, dtype=np.str_)
     len_url = (
         np.asarray(url_str_lens, dtype=np.int64)
