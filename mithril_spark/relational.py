@@ -1389,6 +1389,52 @@ def q_stream_sessionize(spark, sf):
     return spark.table(name).orderBy("user_id", "session_id")
 
 
+def q_stream_events_hourly(spark, sf):
+    """Watermarked tumbling-window STREAMING aggregation over the events
+    table, run to completion with ``availableNow`` — the CORRECTNESS
+    surface for the watermark/window operator path
+    (streaming.stream_events_windowed is the library op; this entry uses
+    DECIMAL-exact sums so the result is addition-order-independent and
+    oracle-comparable). One availableNow batch means the first batch's
+    watermark has not advanced yet, so no window is dropped and update
+    mode emits every (window, event_type) group exactly once with final
+    values — provably the batch hourly relation, whose SQL
+    (Q_EVENTS_HOURLY_SQL) is therefore the oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    path = os.path.join(sf, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="mithril_stream_src2_")
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)), 2)
+            .cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type",
+                "n_events", "total_value")
+    )
+    ck = tempfile.mkdtemp(prefix="mithril_stream_ck2_")
+    name = "mithril_evh_" + hashlib.md5(ck.encode()).hexdigest()[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("hour", "event_type")
+
+
 Q_STREAM_SESSIONIZE_SQL = """
 WITH g AS (
   SELECT user_id, event_id, ts,
@@ -1484,6 +1530,7 @@ QUERIES: dict[str, tuple] = {
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_ann_ivf_probe": (q_ann_ivf_probe, Q_ANN_IVF_PROBE_SQL),
     "q_stream_sessionize": (q_stream_sessionize, Q_STREAM_SESSIONIZE_SQL),
+    "q_stream_events_hourly": (q_stream_events_hourly, Q_EVENTS_HOURLY_SQL),
     "q_media_features": (q_media_features, None),  # bound below
     "q_media_frames": (q_media_frames, None),      # bound below
 }
