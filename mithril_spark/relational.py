@@ -1389,6 +1389,82 @@ def q_stream_sessionize(spark, sf):
     return spark.table(name).orderBy("user_id", "session_id")
 
 
+def q_winnow_near_dups(spark, sf):
+    """Winnowing-fingerprint near-dup pairs (Schleimer et al., SIGMOD'03):
+    char-16-gram md5 hashes, window-4 minima over full windows (min of
+    all grams for docs shorter than one window), distinct fingerprints
+    per doc, pairs sharing >= 8. Entirely JVM-side (explode + window +
+    self-join — no Python in the plan) with an SQL-checkable hash; the
+    library twin (pipeline_ops.fingerprint_documents) keeps token-5-gram
+    blake2b hashes — same algorithm, pytest-gated. 100 TB shape: the
+    shuffle carries (doc_id, i, 32-byte hash) rows, the pair join is
+    fingerprint-blocked (never all-pairs), and skewed fingerprints are
+    AQE-handled like the other dedup families."""
+    from pyspark.sql import Window
+
+    K, W, SHARED = 16, 4, 8
+    base = (
+        _t(spark, sf, "documents").select("doc_id", "text")
+        .filter(F.length("text") >= K)
+        .select("doc_id", "text",
+                (F.length("text") - F.lit(K - 1)).alias("ng"))
+    )
+    g = (
+        base.select(
+            "doc_id", "ng", "text",
+            F.explode(F.expr("sequence(1, ng)")).alias("i"),
+        )
+        .select("doc_id", "ng", "i",
+                F.md5(F.expr(f"substring(text, i, {K})")).alias("h"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, W - 1)
+    fps_full = (
+        g.withColumn("mh", F.min("h").over(win))
+        .filter((F.col("ng") >= W) & (F.col("i") <= F.col("ng") - (W - 1)))
+        .select("doc_id", F.col("mh").alias("fp"))
+        .distinct()
+    )
+    fps_small = (
+        g.filter(F.col("ng") < W)
+        .groupBy("doc_id").agg(F.min("h").alias("fp"))
+    )
+    fps = fps_full.unionByName(fps_small)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= SHARED)
+    )
+
+
+Q_WINNOW_SQL = """
+WITH base AS (
+  SELECT doc_id, text, length(text) - 16 + 1 AS ng
+  FROM documents WHERE length(text) >= 16
+), g AS (
+  SELECT doc_id, ng, unnest(range(1, ng + 1)) AS i, text FROM base
+), h AS (
+  SELECT doc_id, ng, i, md5(substr(text, CAST(i AS INTEGER), 16)) AS h FROM g
+), wins AS (
+  SELECT doc_id, ng, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, mh AS fp FROM wins WHERE ng >= 4 AND i <= ng - 3
+  UNION
+  SELECT doc_id, min(h) AS fp FROM h WHERE ng < 4 GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 8
+"""
+
+
 def q_stream_events_hourly(spark, sf):
     """Watermarked tumbling-window STREAMING aggregation over the events
     table, run to completion with ``availableNow`` — the CORRECTNESS
@@ -1526,6 +1602,7 @@ QUERIES: dict[str, tuple] = {
     "q_dedup_minhash_lsh": (q_dedup_minhash_lsh, Q_DEDUP_MINHASH_SQL),
     "q_dedup_simhash": (q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     "q_dedup_embedding": (q_dedup_embedding, Q_DEDUP_EMBEDDING_SQL),
+    "q_winnow_near_dups": (q_winnow_near_dups, Q_WINNOW_SQL),
     "q_ann_cosine_topk": (q_ann_cosine_topk, Q_ANN_COSINE_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_ann_ivf_probe": (q_ann_ivf_probe, Q_ANN_IVF_PROBE_SQL),
