@@ -65,10 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY ``queries()`` entry (26/26).
+    """DuckDB-equivalent SQL for EVERY ``queries()`` entry (28/28).
 
-    The stateful-streaming entry reuses its provably-equal batch twin's
-    SQL; the media entries use pinned literal-VALUES relations
+    The streaming entries reuse their provably-equal batch twins' SQL;
+    the media entries use pinned literal-VALUES relations
     (mithril_spark/media_oracle_sql.py — sound because the media table is
     seeded-deterministic and the decoders are independently gated)."""
     from mithril_spark.relational import QUERIES

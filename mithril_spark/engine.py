@@ -428,9 +428,15 @@ class SearchEngine:
                 s: np.unique(np.asarray(v, dtype=np.int64))
                 for s, v in by_shard.items()
             }
+            from .indexer import (
+                TOMBSTONE_COMPACT_FRAC,
+                TOMBSTONE_COMPACT_MIN,
+            )
+
             n_tomb = sum(len(v) for v in self._tombstones.values())
             total = max(int(self.meta.get("total_docs", 0)), 1)
-            if n_tomb >= max(0.02 * total, 100_000):
+            if n_tomb >= max(TOMBSTONE_COMPACT_FRAC * total,
+                             TOMBSTONE_COMPACT_MIN):
                 # merge_index_delta's auto-compaction guard normally fires
                 # first; reaching here means it was disabled — be loud
                 import warnings
@@ -912,7 +918,14 @@ class SearchEngine:
         caller degrades to the substring stage, exactly the positions-less
         behavior. k hit docs means the decode work is one bounded pass
         over the query terms' blocks; dead locals cannot collide with
-        hits (tombstoned ids are never reused — docid_watermark)."""
+        hits (tombstoned ids are never reused — docid_watermark).
+
+        Snippet assembly is a DRIVER-side serving API by design (the doc
+        text fetch already collects the top-k rows), so unlike the match
+        path this fetch stays a capped collect even under
+        ``max_payload_rows=0`` — the hard row cap (never below 512, ~64k
+        postings of blocks) is what bounds driver bytes, and the resident
+        store is used whenever it is loaded."""
         if not terms or not hit_ids:
             return {}
         from .codec import decode_position_block
@@ -920,7 +933,7 @@ class SearchEngine:
         shard_size = self.meta["shard_size"]
         cap = max(self.max_payload_rows // 128, 512)
         rows: list[tuple] = []  # (shard, term, salt, first, de, fe, ce, pe)
-        if self.max_payload_rows > 0 and self._driver_store is not None:
+        if self._driver_store is not None:
             _post, pos, _dfs = self._driver_store
             for t in terms:
                 for r in pos.get(t, ()):

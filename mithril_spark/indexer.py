@@ -42,6 +42,13 @@ from .codec import BLOCK_SIZE, encode_posting_blocks, encode_position_block
 SALT_RANGE = BLOCK_SIZE * 256  # 32768 local docids per salted group
 DEFAULT_NUM_BUCKETS = 16
 
+# Auto-compaction policy (merge_index_delta guard + the engine's
+# compaction-overdue warning — keep them reading the SAME constants):
+# compact once tombstones exceed this corpus fraction, with an absolute
+# floor so small/test corpora stay on the LSM path.
+TOMBSTONE_COMPACT_FRAC = 0.02
+TOMBSTONE_COMPACT_MIN = 100_000
+
 EXTRACT_SCHEMA = (
     "url binary, title array<binary>, text binary, desc binary, "
     "body_len int, title_len int, url_len int, desc_len int, "
@@ -192,6 +199,22 @@ def dedupe_pages(pages: DataFrame) -> DataFrame:
         .agg(F.max_by(F.struct(*payload), F.struct(*order)).alias("_r"))
         .select("url", *[F.col("_r." + c).alias(c) for c in payload])
     )
+
+
+def _refresh_index_caches(spark: SparkSession, index_dir: str) -> None:
+    """Invalidate Spark's cached plans/listings under ``index_dir``.
+
+    The CacheManager matches cached plans by canonicalized relation
+    (location paths + schema, NOT the file list), so any cache built over
+    this index's tables — an engine's coalesced postings cache, a
+    pagerank nodes cache — would otherwise be served VERBATIM to fresh
+    reads of the same paths after an in-place rewrite (append merges,
+    compaction). Called at the end of every mutating operation."""
+    try:
+        spark.catalog.refreshByPath(index_dir)
+    except Exception:
+        # best-effort: a malformed/foreign path must not fail the build
+        pass
 
 
 def _write_once(df: DataFrame, path: str, *, partition_by=None, force=False) -> bool:
@@ -725,6 +748,7 @@ def _build_derived(
         "docs_tokenized long, postings_emitted long, bytes_compressed long",
     )
     _write_once(metrics_df, os.path.join(out_dir, "build_metrics"), force=True)
+    _refresh_index_caches(spark, out_dir)
     return result
 
 
@@ -789,6 +813,27 @@ def read_stage(spark: SparkSession, index_dir: str) -> DataFrame:
     return survivors.unionByName(delta_resolved)
 
 
+def _index_has_pagerank(spark: SparkSession, index_dir: str,
+                        meta: dict) -> bool:
+    """Whether this index's doc_map carries real pagerank values.
+
+    ``built_with_pagerank`` records the last full build's choice; indexes
+    built before that flag existed (pre-r5) fall back to a LIMIT-1 probe
+    of the doc_map's pagerank column — cheap (pruned scan, first nonzero
+    row short-circuits) and exact (a pagerank-less build writes 0.0
+    everywhere)."""
+    flag = meta.get("built_with_pagerank")
+    if flag is not None:
+        return bool(flag)
+    dm = os.path.join(index_dir, "doc_map")
+    if not os.path.exists(os.path.join(dm, "_SUCCESS")):
+        return False
+    df = spark.read.parquet(dm)
+    if "pagerank" not in df.columns:
+        return False
+    return df.filter(F.col("pagerank") != 0.0).limit(1).count() > 0
+
+
 def _tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """(shard, local_id) of dead docids, or None when the index has no
     replacement appends (tombstones dir absent/empty)."""
@@ -829,8 +874,8 @@ def merge_index_delta(
     pagerank: bool = False,
     extracted: DataFrame | None = None,
     mode: str = "auto",
-    auto_compact_tombstone_frac: float | None = 0.02,
-    auto_compact_min_tombstones: int = 100_000,
+    auto_compact_tombstone_frac: float | None = TOMBSTONE_COMPACT_FRAC,
+    auto_compact_min_tombstones: int = TOMBSTONE_COMPACT_MIN,
 ) -> dict:
     """Incrementally fold new pages into an existing index.
 
@@ -924,11 +969,13 @@ def merge_index_delta(
     m["finished"] = time.time() - t_start
 
     if mode == "append":
+        idx_pagerank = _index_has_pagerank(spark, index_dir, meta)
         result = _append_delta_derived(
             spark, delta_rows, index_dir, meta,
             old_stage=old_stage,
             sort_partitions=sort_partitions,
             metrics=metrics, phase=phase, t_start=t_start,
+            index_has_pagerank=idx_pagerank,
         )
         # Auto-compaction guard (VERDICT r04 #2): tombstones and segments
         # grow without bound under repeated re-crawl merges, and every
@@ -944,9 +991,12 @@ def merge_index_delta(
                           * max(int(new_meta["total_docs"]), 1),
                           auto_compact_min_tombstones)
         ):
+            # a pagerank-built index must recompact WITH pagerank or the
+            # rebuild would zero the whole corpus's scores, not just the
+            # delta's (code-review r5 finding)
             comp = compact_index(spark, index_dir,
                                  sort_partitions=sort_partitions,
-                                 pagerank=pagerank)
+                                 pagerank=pagerank or idx_pagerank)
             result["compacted"] = True
             result["meta"] = comp["meta"]
             result["compact_wall_s"] = comp["wall_s"]
@@ -1022,6 +1072,7 @@ def _append_delta_derived(
     metrics: list,
     phase,
     t_start: float,
+    index_has_pagerank: bool = False,
 ) -> dict:
     """Append-mode incremental merge: O(delta) posting/position work.
 
@@ -1061,9 +1112,11 @@ def _append_delta_derived(
     (``min_avg_body_enc``) and serving scales bounds up by
     avg_now/min_enc (engine.bm25_topk) — pruning can only get looser,
     never wrong."""
-    if meta.get("built_with_pagerank"):
+    if index_has_pagerank:
         # ADVICE r04: delta docs get pagerank=0.0 and re-crawled docs lose
         # their old score until a recompaction recomputes the global graph
+        # (pre-r5 indexes without the built_with_pagerank flag are probed
+        # from doc_map — _index_has_pagerank)
         import warnings
 
         warnings.warn(
@@ -1424,6 +1477,7 @@ def _append_delta_derived(
         "docs_tokenized long, postings_emitted long, bytes_compressed long",
     )
     _write_once(metrics_df, os.path.join(out_dir, "build_metrics"), force=True)
+    _refresh_index_caches(spark, out_dir)
     return result
 
 
@@ -1477,4 +1531,5 @@ def compact_stage(spark: SparkSession, index_dir: str) -> int:
     for g in gens:
         shutil.rmtree(g, ignore_errors=True)
     os.rename(tmp, os.path.join(index_dir, "stage_raw"))
+    _refresh_index_caches(spark, index_dir)
     return len(gens)

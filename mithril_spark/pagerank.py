@@ -111,9 +111,16 @@ def spark_pagerank(
     from pyspark.sql import functions as F
 
     spark = links.sparkSession
+    # caches are UNPERSISTED before returning: Spark's CacheManager matches
+    # cached plans by canonicalized relation (path + schema, NOT the file
+    # list), so a leaked cache of nodes/edges would be served VERBATIM to
+    # a later pagerank run over the SAME path after an in-place rewrite
+    # (compact_index) — stale nodes with fresh edges crashed exactly that
+    # way (round-5 regression, tests/test_append_merge.py).
     nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct().cache()
     n = nodes.count()
     if n == 0:
+        nodes.unpersist()
         return spark.createDataFrame(
             [], "node binary, rank_fp long, pagerank double"
         )
@@ -124,6 +131,7 @@ def spark_pagerank(
             for r in links.select("src", "dst").collect()
         ]
         node_list = sorted(bytes(r["node"]) for r in nodes.collect())
+        nodes.unpersist()
         ranks_by_url = pagerank_fixed_numpy(edge_rows, node_list,
                                             max_iterations)
         fp = np.array([ranks_by_url[u] for u in node_list], dtype=np.int64)
@@ -181,6 +189,10 @@ def spark_pagerank(
     # can differ from libm by an ulp, which would break bit-identity with
     # the numpy twin the oracle uses.
     stats = ranks.agg(F.min("r").alias("rmin"), F.max("r").alias("rmax")).collect()[0]
+    # ranks is localCheckpoint-materialized — safe to drop the working
+    # caches here (see the staleness note at the top of this function)
+    edges.unpersist()
+    nodes.unpersist()
     lo = float(np.log10(np.float64(int(stats["rmin"])) / SCALE + LOG_EPSILON))
     hi = float(np.log10(np.float64(int(stats["rmax"])) / SCALE + LOG_EPSILON))
 

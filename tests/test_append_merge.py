@@ -333,6 +333,78 @@ def test_auto_compaction_guard(spark, tmp_path_factory):
         assert ef.top_k(q) == ei.top_k(q), q
 
 
+def test_cached_engine_plans_dont_leak_across_merges(spark, tmp_path_factory):
+    """Spark's CacheManager matches cached plans by path+schema, NOT the
+    file list — an engine built BEFORE a merge (default cache_doc_map=True
+    caches coalesced postings/positions) must not poison a fresh engine's
+    reads of the same paths AFTER the merge. merge_index_delta refreshes
+    the index path at the end (code-review r5 / stale-cache regression)."""
+    pages = generate_pages(60, seed=37)
+    inc_dir = str(tmp_path_factory.mktemp("ccl_inc") / "i")
+    build_index(pages_to_df(spark, pages[:50]), inc_dir, num_shards=2)
+
+    e1 = SearchEngine(spark, inc_dir)  # caching engine, pre-merge
+    assert e1.top_k("search engine")
+
+    res = merge_index_delta(inc_dir, pages_to_df(spark, pages[50:]))
+    assert res["mode"] == "append"
+
+    with open(os.path.join(inc_dir, "index_meta.json")) as f:
+        shard_size = json.load(f)["shard_size"]
+    delta_urls = {p["url"].encode() for p in pages[50:]}
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages],
+        sort_key=lambda u: (u in delta_urls, u), shard_size=shard_size,
+    )
+    e2 = SearchEngine(spark, inc_dir)  # fresh engine, post-merge
+    for q in QUERIES:
+        assert e2.top_k(q) == oracle.top_k(q), q
+
+
+def test_auto_compaction_preserves_pagerank(spark, tmp_path_factory):
+    """code-review r5: when the guard compacts a pagerank-built index it
+    must recompute pagerank — compact_index(pagerank=False) would zero
+    the WHOLE corpus's scores, not just the delta's. The result must be
+    byte-identical to a fresh pagerank build over the resolved corpus."""
+    import pytest
+
+    from mithril_spark.text.docproc import process_page
+
+    pages = generate_pages(30, seed=31)
+    base = pages[:24]
+    inc_dir = str(tmp_path_factory.mktemp("acp_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=1,
+                pagerank=True)
+
+    current = {p["url"]: p for p in base}
+    delta = []
+    for i in (2, 9, 17):
+        cand = dict(pages[i], html=pages[(i + 7) % 24]["html"])
+        if process_page(cand["url"].encode(), cand["html"]) is not None:
+            delta.append(cand)
+    delta += pages[24:26]
+    with pytest.warns(UserWarning, match="pagerank"):
+        res = merge_index_delta(inc_dir, pages_to_df(spark, delta),
+                                auto_compact_min_tombstones=1)
+    assert res["mode"] == "append" and res.get("compacted") is True
+    for p in delta:
+        current[p["url"]] = p
+
+    dm = spark.read.parquet(f"{inc_dir}/doc_map")
+    assert dm.filter("pagerank != 0.0").count() > 0
+
+    full_dir = str(tmp_path_factory.mktemp("acp_full") / "i")
+    build_index(pages_to_df(spark, list(current.values())), full_dir,
+                num_shards=1, pagerank=True)
+    _assert_same_index(spark, full_dir, inc_dir)
+    pr_of = {
+        bytes(r["url"]): float(r["pagerank"])
+        for r in spark.read.parquet(f"{full_dir}/doc_map").collect()
+    }
+    for r in dm.collect():
+        assert float(r["pagerank"]) == pr_of[bytes(r["url"])]
+
+
 def test_append_on_pagerank_index_warns(spark, tmp_path_factory):
     """ADVICE r04: appends cannot maintain the global pagerank — merging
     into a pagerank-built index must warn (delta docs serve pagerank 0.0
