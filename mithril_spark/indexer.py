@@ -217,6 +217,52 @@ def _refresh_index_caches(spark: SparkSession, index_dir: str) -> None:
         pass
 
 
+def _pid_counts_from_footers(path: str) -> dict[int, int] | None:
+    """Per-pid row counts of the ``_ids_stage`` write, read driver-side
+    from parquet footers instead of a counting Spark job.
+
+    Each committed part-file holds exactly one ``pid`` value (one file per
+    repartitionByRange task), so the column's footer min==max IS the pid
+    and the file's row count is that pid's count. O(#files) driver
+    metadata reads — no executor work. Returns None (caller falls back to
+    the groupBy job) if any footer lacks usable pid statistics."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    try:
+        files = sorted(
+            e.path for e in os.scandir(path)
+            if e.is_file() and e.name.endswith(".parquet")
+        )
+        if not files:
+            return None
+        for f in files:
+            md = pq.read_metadata(f)
+            if md.num_rows == 0:  # empty range partition: no pid row
+                continue
+            pid_idx = md.schema.to_arrow_schema().get_field_index("pid")
+            if pid_idx < 0:
+                return None
+            n = 0
+            pid = None
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(pid_idx)
+                st = col.statistics
+                if st is None or not st.has_min_max or st.min != st.max:
+                    return None
+                if pid is None:
+                    pid = int(st.min)
+                elif pid != int(st.min):
+                    return None  # mixed pids in one file: fall back
+                n += md.row_group(rg).num_rows
+            if pid is None or pid in counts:
+                return None
+            counts[pid] = n
+    except Exception:
+        return None
+    return counts
+
+
 def _write_once(df: DataFrame, path: str, *, partition_by=None, force=False) -> bool:
     """Idempotent phase commit: skip when _SUCCESS already present (resume)."""
     if not force and os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -507,10 +553,12 @@ def _build_derived(
         ids_stage = os.path.join(out_dir, "_ids_stage")
         url_sorted.write.mode("overwrite").parquet(ids_stage)
         staged = spark.read.parquet(ids_stage)
-        counts = {
-            int(r["pid"]): int(r["cnt"])
-            for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-        }
+        counts = _pid_counts_from_footers(ids_stage)
+        if counts is None:  # footer stats unavailable — the one-job fallback
+            counts = {
+                int(r["pid"]): int(r["cnt"])
+                for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+            }
         total_docs = sum(counts.values())
         offsets = {}
         acc = 0
@@ -696,11 +744,10 @@ def _build_derived(
     fut_post = pool.submit(_run_postings)
     fut_pos = pool.submit(_run_positions)
     fut_post.result()
-    fut_pos.result()
 
     # --- Phase 5: term dictionary (df / cf per shard) + lineage counters,
-    # submitted concurrently — both are small aggregations over the
-    # postings table just written.
+    # submitted concurrently as soon as the postings table lands — both are
+    # small aggregations over it and need not wait for positions.
     m_td = phase("term_dict")
     m_cnt = phase("counters")
 
@@ -749,6 +796,7 @@ def _build_derived(
 
     fut_td = pool.submit(_run_term_dict)
     fut_cnt = pool.submit(_run_counters)
+    fut_pos.result()
     fut_td.result()
     counters = fut_cnt.result()
     fut_doc_map.result()
