@@ -1245,6 +1245,78 @@ def _append_delta_derived(
         .select("url", *[F.col("_r." + c).alias(c) for c in payload])
     )
 
+    # Independent phases overlap via threaded job submission, mirroring
+    # _build_derived: the doc_text generation and the tombstone resolution
+    # depend only on the delta + pre-merge tables, so they run under the
+    # docid-assignment chain; positions runs beside postings; the doc_map
+    # append write runs under postings. Every table's plan and bytes are
+    # unchanged — only wall-clock scheduling overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    # --- doc_text: url-sorted GENERATION dir (snippet fetch reads all
+    # generations latest-wins, so a re-crawled url's new text shadows the
+    # base sidecar row; each file carries its own url min/max for IN-list
+    # pruning; compact_index folds the generations away) ---
+    m_text = phase("doc_text")
+    n_gen = len(_doc_text_generations(out_dir))
+    text_gen = os.path.join(out_dir, f"doc_text_delta_{n_gen:05d}")
+
+    def _run_doc_text():
+        (
+            delta.select("url", "title", "desc", "text")
+            .repartitionByRange(sort_partitions, "url")
+            .sortWithinPartitions("url")
+            .write.mode("overwrite").parquet(text_gen)
+        )
+        m_text["ran"] = True
+        m_text["finished"] = time.time() - t_start
+
+    fut_text = pool.submit(_run_doc_text)
+
+    # --- re-crawled urls: tombstone the OLD docids (LSM delete) ---
+    # Fully distributed (VERDICT r04 nit: the old path collect()ed every
+    # replaced id row to the driver — delta-bounded but needlessly so):
+    # the replaced set is materialized ONCE to a tmp parquet (doc_ids ⋈
+    # delta urls, anti-⋈ existing tombstones so only the LIVE row of a
+    # twice-re-crawled url dies) and every consumer — the tombstone
+    # append, the stats subtraction, the dead-term df/cf subtraction —
+    # joins against that tmp table. Nothing about the delta ever
+    # round-trips through the driver beyond a count. Reads only pre-merge
+    # tables (doc_ids adoption happens at the very end), so it overlaps
+    # the docid-assignment chain.
+    m_tomb = phase("tombstones")
+    ids_path = os.path.join(out_dir, "doc_ids")
+    tomb_path = os.path.join(out_dir, "tombstones")
+    tomb_tmp = os.path.join(out_dir, "_tombstones_delta")
+
+    def _run_tombstones():
+        replaced = (
+            spark.read.parquet(ids_path)
+            .join(F.broadcast(delta.select("url")), "url")
+            .select("url", "doc_id", "shard", "local_id")
+        )
+        if os.path.isdir(tomb_path) and _dir_parquet_bytes(tomb_path):
+            replaced = replaced.join(
+                spark.read.parquet(tomb_path).select("shard", "local_id"),
+                ["shard", "local_id"], "left_anti",
+            )
+        replaced.write.mode("overwrite").parquet(tomb_tmp)
+        replaced_df = spark.read.parquet(tomb_tmp)
+        n_replaced = replaced_df.count()
+        m_tomb["replaced_docs"] = n_replaced
+        if n_replaced:
+            (
+                replaced_df.select("shard", "local_id")
+                .coalesce(max(1, n_replaced // 5_000_000 + 1))
+                .write.mode("append").parquet(tomb_path)
+            )
+        m_tomb["finished"] = time.time() - t_start
+        return replaced_df, n_replaced
+
+    fut_tomb = pool.submit(_run_tombstones)
+
     # --- delta docid assignment: url-ranked after the existing corpus ---
     m = phase("assign_ids_delta")
     ids_stage = os.path.join(out_dir, "_ids_delta_stage")
@@ -1256,15 +1328,24 @@ def _append_delta_derived(
         .write.mode("overwrite").parquet(ids_stage)
     )
     staged = spark.read.parquet(ids_stage)
-    counts = {
-        int(r["pid"]): int(r["cnt"])
-        for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    counts = _pid_counts_from_footers(ids_stage)
+    if counts is None:  # footer stats unavailable — the one-job fallback
+        counts = {
+            int(r["pid"]): int(r["cnt"])
+            for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        }
     n_delta = sum(counts.values())
     m["delta_docs"] = n_delta
     if n_delta == 0:
         import shutil
 
+        # join the speculative early tasks and undo their (empty) outputs
+        # so a no-op merge leaves the index exactly as it found it
+        fut_text.result()
+        fut_tomb.result()
+        pool.shutdown()
+        shutil.rmtree(text_gen, ignore_errors=True)
+        shutil.rmtree(tomb_tmp, ignore_errors=True)
         shutil.rmtree(ids_stage, ignore_errors=True)
         m["finished"] = time.time() - t_start
         return {"meta": meta, "phases": metrics,
@@ -1309,41 +1390,36 @@ def _append_delta_derived(
     m["finished"] = time.time() - t_start
 
     docs = delta.join(F.broadcast(ids_delta), "url")
+    exploded = _explode_postings(docs)
 
-    # --- re-crawled urls: tombstone the OLD docids (LSM delete) ---
-    # Fully distributed (VERDICT r04 nit: the old path collect()ed every
-    # replaced id row to the driver — delta-bounded but needlessly so):
-    # the replaced set is materialized ONCE to a tmp parquet (doc_ids ⋈
-    # delta urls, anti-⋈ existing tombstones so only the LIVE row of a
-    # twice-re-crawled url dies) and every consumer — the tombstone
-    # append, the stats subtraction, the dead-term df/cf subtraction —
-    # joins against that tmp table. Nothing about the delta ever
-    # round-trips through the driver beyond a count.
-    m = phase("tombstones")
-    ids_path = os.path.join(out_dir, "doc_ids")
-    tomb_path = os.path.join(out_dir, "tombstones")
-    replaced = (
-        spark.read.parquet(ids_path)
-        .join(F.broadcast(delta.select("url")), "url")
-        .select("url", "doc_id", "shard", "local_id")
-    )
-    if os.path.isdir(tomb_path) and _dir_parquet_bytes(tomb_path):
-        replaced = replaced.join(
-            spark.read.parquet(tomb_path).select("shard", "local_id"),
-            ["shard", "local_id"], "left_anti",
-        )
-    tomb_tmp = os.path.join(out_dir, "_tombstones_delta")
-    replaced.write.mode("overwrite").parquet(tomb_tmp)
-    replaced_df = spark.read.parquet(tomb_tmp)
-    n_replaced = replaced_df.count()
-    m["replaced_docs"] = n_replaced
-    if n_replaced:
+    # --- positions: encode the delta alone, adopt files — needs only the
+    # delta ids, so it overlaps tombstone resolution, stats and postings
+    m_pos = phase("positions")
+    positions_path = os.path.join(out_dir, "positions")
+    pos_tmp = os.path.join(out_dir, "_positions_delta")
+
+    def _run_positions():
+        m_pos["table_bytes_before"] = _dir_parquet_bytes(positions_path)
         (
-            replaced_df.select("shard", "local_id")
-            .coalesce(max(1, n_replaced // 5_000_000 + 1))
-            .write.mode("append").parquet(tomb_path)
+            exploded.drop("body_len").filter(F.size("positions") > 0)
+            .repartition(sort_partitions, "term", "shard", "salt")
+            .sortWithinPartitions("term", "shard", "salt")
+            .mapInArrow(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
+            .withColumn(
+                "bucket",
+                F.crc32(F.encode(F.col("term"), "ISO-8859-1"))
+                % F.lit(num_buckets),
+            )
+            .repartition("bucket")
+            .write.mode("overwrite").partitionBy("bucket").parquet(pos_tmp)
         )
-    m["finished"] = time.time() - t_start
+        m_pos["appended_bytes"] = _adopt_parquet_files(pos_tmp, positions_path)
+        m_pos["ran"] = True
+        m_pos["finished"] = time.time() - t_start
+
+    fut_pos = pool.submit(_run_positions)
+
+    replaced_df, n_replaced = fut_tomb.result()
 
     # --- doc_map: APPEND-ONLY under the LSM layout (VERDICT r04 #1) —
     # delta rows land next to the existing ones and a re-crawl's dead
@@ -1353,18 +1429,12 @@ def _append_delta_derived(
     # bytes written, no corpus shuffle. Stats update incrementally
     # (old + delta - dead; exact integer sums, so identical to a fresh
     # recompute over the live rows — gated in tests/test_append_merge.py).
+    # The dead-row stats subtraction scans doc_map BEFORE the append write
+    # is submitted (replaced rows are all pre-merge rows, so the result is
+    # identical — and the scan never races the concurrent append commit).
     m = phase("doc_map_delta")
     doc_map_path = os.path.join(out_dir, "doc_map")
     m["table_bytes_before"] = _dir_parquet_bytes(doc_map_path)
-    doc_map_delta = docs.select(
-        "shard", "doc_id", "local_id", "url", "title",
-        "body_len", "title_len", "url_len", "desc_len", "static_rank",
-        F.lit(0.0).cast("float").alias("pagerank"),
-    )
-    doc_map_delta.write.mode("append").partitionBy("shard").parquet(
-        doc_map_path)
-    m["appended_bytes"] = (
-        _dir_parquet_bytes(doc_map_path) - m["table_bytes_before"])
     stats_cols = ["shard", "doc_count", "total_body", "total_title",
                   "total_url", "total_desc"]
     stats_parts = (
@@ -1407,14 +1477,30 @@ def _append_delta_derived(
                           if int(r["doc_count"]) else 0.0)
         for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
     }
-    m["ran"] = True
-    m["finished"] = time.time() - t_start
+    m_map = m
+
+    def _run_doc_map_append():
+        doc_map_delta = docs.select(
+            "shard", "doc_id", "local_id", "url", "title",
+            "body_len", "title_len", "url_len", "desc_len", "static_rank",
+            F.lit(0.0).cast("float").alias("pagerank"),
+        )
+        doc_map_delta.write.mode("append").partitionBy("shard").parquet(
+            doc_map_path)
+        m_map["appended_bytes"] = (
+            _dir_parquet_bytes(doc_map_path) - m_map["table_bytes_before"])
+        m_map["ran"] = True
+        m_map["finished"] = time.time() - t_start
+
+    # the append write lands beside the postings encode; submitted only
+    # after the stats job (whose dead-row subtraction scans the pre-append
+    # doc_map) has fully executed
+    fut_map = pool.submit(_run_doc_map_append)
 
     # --- postings: encode the delta alone, adopt files, merge term_dict ---
     m = phase("postings")
     postings_path = os.path.join(out_dir, "postings")
     m["table_bytes_before"] = _dir_parquet_bytes(postings_path)
-    exploded = _explode_postings(docs)
     post_tmp = os.path.join(out_dir, "_postings_delta")
     (
         exploded.drop("flags", "positions")
@@ -1479,41 +1565,11 @@ def _append_delta_derived(
     m["ran"] = True
     m["finished"] = time.time() - t_start
 
-    m = phase("positions")
-    positions_path = os.path.join(out_dir, "positions")
-    m["table_bytes_before"] = _dir_parquet_bytes(positions_path)
-    pos_tmp = os.path.join(out_dir, "_positions_delta")
-    (
-        exploded.drop("body_len").filter(F.size("positions") > 0)
-        .repartition(sort_partitions, "term", "shard", "salt")
-        .sortWithinPartitions("term", "shard", "salt")
-        .mapInArrow(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
-        .withColumn(
-            "bucket",
-            F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
-        )
-        .repartition("bucket")
-        .write.mode("overwrite").partitionBy("bucket").parquet(pos_tmp)
-    )
-    m["appended_bytes"] = _adopt_parquet_files(pos_tmp, positions_path)
-    m["ran"] = True
-    m["finished"] = time.time() - t_start
-
-    # --- doc_text: url-sorted GENERATION dir (snippet fetch reads all
-    # generations latest-wins, so a re-crawled url's new text shadows the
-    # base sidecar row; each file carries its own url min/max for IN-list
-    # pruning; compact_index folds the generations away) ---
-    m = phase("doc_text")
-    n_gen = len(_doc_text_generations(out_dir))
-    text_gen = os.path.join(out_dir, f"doc_text_delta_{n_gen:05d}")
-    (
-        delta.select("url", "title", "desc", "text")
-        .repartitionByRange(sort_partitions, "url")
-        .sortWithinPartitions("url")
-        .write.mode("overwrite").parquet(text_gen)
-    )
-    m["ran"] = True
-    m["finished"] = time.time() - t_start
+    # join the overlapped writes before the final metadata fold
+    fut_pos.result()
+    fut_map.result()
+    fut_text.result()
+    pool.shutdown()
 
     # --- counters + metadata ---
     m = phase("counters")
