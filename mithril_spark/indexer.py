@@ -511,297 +511,302 @@ def _build_derived(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=4)
+    try:
 
-    # --- Phase 4b (launched first, joined last): url-sorted doc-text
-    # sidecar for snippet serving. The reference web tier re-reads gzipped
-    # crawl chunks via an LRU (web/src/Snippets.h:28-143 DocumentAccessor).
-    # Our serving analog is a slim (url, title, desc, text) table
-    # range-partitioned AND sorted by url so a top-k snippet fetch
-    # (url IN <=50) prunes to a handful of row groups via parquet min/max —
-    # stage_raw is written in extraction order, where url min/max spans
-    # everything and prunes nothing (VERDICT r02 #2). Depends only on
-    # ``stage``, so it overlaps the whole id/doc_map/postings chain.
-    m_text = phase("doc_text")
+        # --- Phase 4b (launched first, joined last): url-sorted doc-text
+        # sidecar for snippet serving. The reference web tier re-reads gzipped
+        # crawl chunks via an LRU (web/src/Snippets.h:28-143 DocumentAccessor).
+        # Our serving analog is a slim (url, title, desc, text) table
+        # range-partitioned AND sorted by url so a top-k snippet fetch
+        # (url IN <=50) prunes to a handful of row groups via parquet min/max —
+        # stage_raw is written in extraction order, where url min/max spans
+        # everything and prunes nothing (VERDICT r02 #2). Depends only on
+        # ``stage``, so it overlaps the whole id/doc_map/postings chain.
+        m_text = phase("doc_text")
 
-    def _run_doc_text():
-        doc_text = stage.select("url", "title", "desc", "text")
-        m_text["ran"] = _write_once(
-            doc_text.repartitionByRange(sort_partitions, "url")
-            .sortWithinPartitions("url"),
-            os.path.join(out_dir, "doc_text"),
-            force=force,
-        )
-        m_text["finished"] = time.time() - t_start
-
-    fut_text = pool.submit(_run_doc_text)
-
-    # --- Phase 2: deterministic dense docids — url-only shuffle ---
-    # Only the url column moves: range-sort it, count per partition, assign
-    # rank offsets, and persist the tiny ids(url, doc_id, shard, local_id)
-    # table. The heavy extracted rows never shuffle for id assignment; they
-    # are joined against ids (broadcast when small, sort-merge/AQE at scale)
-    # lazily in the downstream phases.
-    m = phase("assign_ids")
-    ids_path = os.path.join(out_dir, "doc_ids")
-    if force or not os.path.exists(os.path.join(ids_path, "_SUCCESS")):
-        url_sorted = (
-            stage.select("url")
-            .repartitionByRange(sort_partitions, "url")
-            .sortWithinPartitions("url")
-            .withColumn("pid", F.spark_partition_id())
-        )
-        ids_stage = os.path.join(out_dir, "_ids_stage")
-        url_sorted.write.mode("overwrite").parquet(ids_stage)
-        staged = spark.read.parquet(ids_stage)
-        counts = _pid_counts_from_footers(ids_stage)
-        if counts is None:  # footer stats unavailable — the one-job fallback
-            counts = {
-                int(r["pid"]): int(r["cnt"])
-                for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-            }
-        total_docs = sum(counts.values())
-        offsets = {}
-        acc = 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        shard_size = -(-total_docs // num_shards) if total_docs else 1
-
-        def _assign(table):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            if table.num_rows == 0:
-                return table.drop_columns(["pid"])
-            order = pc.sort_indices(table, sort_keys=[("url", "ascending")])
-            table = table.take(order)
-            # docids are 1:1 with urls by contract (dedupe_pages upstream);
-            # a violation here would silently corrupt df/stats, so fail loud.
-            # Range partitioning puts equal urls in one partition, so the
-            # adjacent check within the sorted partition is complete.
-            u = table.column("url").combine_chunks()
-            if table.num_rows > 1:
-                dup = pc.any(pc.equal(u.slice(1), u.slice(0, len(u) - 1)))
-                if dup.as_py():
-                    raise ValueError(
-                        "duplicate url reached docid assignment; pass a "
-                        "url-unique pages table or build with dedupe=True"
-                    )
-            base = offsets[table.column("pid")[0].as_py()]
-            doc_id = base + np.arange(table.num_rows, dtype=np.int64)
-            shard = (doc_id // shard_size).astype(np.int32)
-            local = doc_id - shard.astype(np.int64) * shard_size
-            table = table.drop_columns(["pid"])
-            return (
-                table.append_column("doc_id", pa.array(doc_id, pa.int64()))
-                .append_column("shard", pa.array(shard, pa.int32()))
-                .append_column("local_id", pa.array(local, pa.int64()))
+        def _run_doc_text():
+            doc_text = stage.select("url", "title", "desc", "text")
+            m_text["ran"] = _write_once(
+                doc_text.repartitionByRange(sort_partitions, "url")
+                .sortWithinPartitions("url"),
+                os.path.join(out_dir, "doc_text"),
+                force=force,
             )
+            m_text["finished"] = time.time() - t_start
 
-        ids = staged.groupBy("pid").applyInArrow(
-            _assign, schema="url binary, doc_id long, shard int, local_id long"
-        )
-        _write_once(ids, ids_path, force=True)
-        meta_tmp = {"total_docs": total_docs, "shard_size": shard_size}
-        with open(os.path.join(out_dir, "_assign_meta.json"), "w") as f:
-            json.dump(meta_tmp, f)
-        m["ran"] = True
-    else:
-        m["ran"] = False
-    with open(os.path.join(out_dir, "_assign_meta.json")) as f:
-        meta_tmp = json.load(f)
-    total_docs = meta_tmp["total_docs"]
-    shard_size = meta_tmp["shard_size"]
-    m["total_docs"] = total_docs
-    m["finished"] = time.time() - t_start
+        fut_text = pool.submit(_run_doc_text)
 
-    ids_df = spark.read.parquet(ids_path)
-    # Broadcast the ids table while it comfortably fits executor memory —
-    # decided by on-disk bytes (x4 decompression headroom), not row count:
-    # a 20M-row url table is multi-GB in memory. Beyond the cap the join
-    # degrades gracefully to AQE sort-merge.
-    ids_bytes = sum(
-        e.stat().st_size for e in os.scandir(ids_path)
-        if e.is_file() and e.name.endswith(".parquet")
-    )
-    ids_broadcast = ids_bytes * 4 <= 512 * 1024 * 1024
-    if ids_broadcast:
-        ids_df = F.broadcast(ids_df)
-    m["ids_parquet_bytes"] = ids_bytes
-    m["ids_broadcast"] = ids_broadcast
-    docs = stage.join(ids_df, "url")
-
-    # --- Phase 3: doc_map + index_stats (+ optional pagerank) ---
-    doc_map_path = os.path.join(out_dir, "doc_map")
-    need_doc_map = force or not os.path.exists(
-        os.path.join(doc_map_path, "_SUCCESS"))
-    pagerank_col = F.lit(0.0).cast("float").alias("pagerank")
-    docs_for_map = docs
-    if pagerank and need_doc_map:
-        m = phase("pagerank")
-        from .pagerank import spark_pagerank
-
-        link_edges = stage.select(
-            F.col("url").alias("src"), F.explode("links").alias("dst")
-        )
-        graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
-            link_edges.select(F.col("dst").alias("node"))
-        )
-        pr = spark_pagerank(link_edges, graph_nodes)
-        docs_for_map = docs.join(
-            pr.select(F.col("node").alias("url"),
-                      F.col("pagerank").alias("_pr")),
-            "url", "left",
-        )
-        # doc_map stores float32, like the reference's pagerank binary
-        pagerank_col = F.coalesce(F.col("_pr"), F.lit(0.0)).cast("float").alias("pagerank")
-        m["ran"] = True
-        m["finished"] = time.time() - t_start
-    m = phase("doc_map")
-    doc_map = docs_for_map.select(
-        "shard", "doc_id", "local_id", "url", "title",
-        "body_len", "title_len", "url_len", "desc_len", "static_rank",
-        pagerank_col,
-    )
-
-    def _run_doc_map():
-        m["ran"] = _write_once(doc_map, doc_map_path,
-                               partition_by=["shard"], force=force)
-        m["finished"] = time.time() - t_start
-
-    # doc_map is not read by the postings/positions chain — only
-    # index_stats is (avg_body) — so its write overlaps the stats write
-    # and is joined with the other deferred phases at the end.
-    fut_doc_map = pool.submit(_run_doc_map)
-    stats = docs.groupBy("shard").agg(
-        F.count("*").alias("doc_count"),
-        F.sum("body_len").alias("total_body"),
-        F.sum("title_len").alias("total_title"),
-        F.sum("url_len").alias("total_url"),
-        F.sum("desc_len").alias("total_desc"),
-    )
-    m["ran_stats"] = _write_once(stats, os.path.join(out_dir, "index_stats"), force=force)
-
-    # --- Phase 4: postings + positions blocks (salted against head-term
-    # skew), submitted concurrently — each is its own explode+shuffle over
-    # ``docs`` with <= sort_partitions tasks per stage, so neither alone
-    # fills the executor; overlapping them hides the smaller (positions)
-    # under the larger (postings) with identical per-table plans/bytes.
-    m_post = phase("postings")
-    m_pos = phase("positions")
-    # per-shard average body length for the tight per-block max-score bound
-    avg_body = {
-        int(r["shard"]): (int(r["total_body"]) / int(r["doc_count"])
-                          if int(r["doc_count"]) else 0.0)
-        for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
-    }
-    exploded = _explode_postings(docs)
-
-    def _run_postings():
-        posting_blocks = (
-            exploded.drop("flags", "positions")
-            .repartition(sort_partitions, "term", "shard", "salt")
-            .sortWithinPartitions("term", "shard", "salt")
-            .mapInPandas(_make_posting_blocks(avg_body), schema=POSTING_BLOCK_SCHEMA)
-            .withColumn(
-                "bucket",
-                F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
+        # --- Phase 2: deterministic dense docids — url-only shuffle ---
+        # Only the url column moves: range-sort it, count per partition, assign
+        # rank offsets, and persist the tiny ids(url, doc_id, shard, local_id)
+        # table. The heavy extracted rows never shuffle for id assignment; they
+        # are joined against ids (broadcast when small, sort-merge/AQE at scale)
+        # lazily in the downstream phases.
+        m = phase("assign_ids")
+        ids_path = os.path.join(out_dir, "doc_ids")
+        if force or not os.path.exists(os.path.join(ids_path, "_SUCCESS")):
+            url_sorted = (
+                stage.select("url")
+                .repartitionByRange(sort_partitions, "url")
+                .sortWithinPartitions("url")
+                .withColumn("pid", F.spark_partition_id())
             )
-        )
-        m_post["ran"] = _write_once(
-            posting_blocks.repartition("bucket"),
-            os.path.join(out_dir, "postings"),
-            partition_by=["bucket"],
-            force=force,
-        )
-        # per-task Python memory bound for the streaming emit: one Arrow
-        # batch plus one carried group (salt bounds a group to SALT_RANGE
-        # postings)
-        arrow_batch = int(spark.conf.get(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"))
-        m_post["emit_peak_rows_bound"] = arrow_batch + SALT_RANGE
-        m_post["finished"] = time.time() - t_start
+            ids_stage = os.path.join(out_dir, "_ids_stage")
+            url_sorted.write.mode("overwrite").parquet(ids_stage)
+            staged = spark.read.parquet(ids_stage)
+            counts = _pid_counts_from_footers(ids_stage)
+            if counts is None:  # footer stats unavailable — the one-job fallback
+                counts = {
+                    int(r["pid"]): int(r["cnt"])
+                    for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+                }
+            total_docs = sum(counts.values())
+            offsets = {}
+            acc = 0
+            for pid in sorted(counts):
+                offsets[pid] = acc
+                acc += counts[pid]
+            shard_size = -(-total_docs // num_shards) if total_docs else 1
 
-    def _run_positions():
-        position_blocks = (
-            exploded.drop("body_len").filter(F.size("positions") > 0)
-            .repartition(sort_partitions, "term", "shard", "salt")
-            .sortWithinPartitions("term", "shard", "salt")
-            .mapInArrow(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
-            .withColumn(
-                "bucket",
-                F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
+            def _assign(table):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                if table.num_rows == 0:
+                    return table.drop_columns(["pid"])
+                order = pc.sort_indices(table, sort_keys=[("url", "ascending")])
+                table = table.take(order)
+                # docids are 1:1 with urls by contract (dedupe_pages upstream);
+                # a violation here would silently corrupt df/stats, so fail loud.
+                # Range partitioning puts equal urls in one partition, so the
+                # adjacent check within the sorted partition is complete.
+                u = table.column("url").combine_chunks()
+                if table.num_rows > 1:
+                    dup = pc.any(pc.equal(u.slice(1), u.slice(0, len(u) - 1)))
+                    if dup.as_py():
+                        raise ValueError(
+                            "duplicate url reached docid assignment; pass a "
+                            "url-unique pages table or build with dedupe=True"
+                        )
+                base = offsets[table.column("pid")[0].as_py()]
+                doc_id = base + np.arange(table.num_rows, dtype=np.int64)
+                shard = (doc_id // shard_size).astype(np.int32)
+                local = doc_id - shard.astype(np.int64) * shard_size
+                table = table.drop_columns(["pid"])
+                return (
+                    table.append_column("doc_id", pa.array(doc_id, pa.int64()))
+                    .append_column("shard", pa.array(shard, pa.int32()))
+                    .append_column("local_id", pa.array(local, pa.int64()))
+                )
+
+            ids = staged.groupBy("pid").applyInArrow(
+                _assign, schema="url binary, doc_id long, shard int, local_id long"
             )
-        )
-        m_pos["ran"] = _write_once(
-            position_blocks.repartition("bucket"),
-            os.path.join(out_dir, "positions"),
-            partition_by=["bucket"],
-            force=force,
-        )
-        m_pos["finished"] = time.time() - t_start
-
-    fut_post = pool.submit(_run_postings)
-    fut_pos = pool.submit(_run_positions)
-    fut_post.result()
-
-    # --- Phase 5: term dictionary (df / cf per shard) + lineage counters,
-    # submitted concurrently as soon as the postings table lands — both are
-    # small aggregations over it and need not wait for positions.
-    m_td = phase("term_dict")
-    m_cnt = phase("counters")
-
-    def _run_term_dict():
-        term_dict = (
-            spark.read.parquet(os.path.join(out_dir, "postings"))
-            .groupBy("term", "shard", "bucket")
-            .agg(
-                F.sum("doc_count").alias("df"),
-                F.sum("freq_sum").alias("cf"),
-            )
-        )
-        m_td["ran"] = _write_once(
-            term_dict, os.path.join(out_dir, "term_dict"),
-            partition_by=["bucket"], force=force,
-        )
-        m_td["finished"] = time.time() - t_start
-
-    # per-partition lineage counters (north_rule: docs tokenized, postings
-    # emitted, bytes compressed, logged to a metrics table)
-    def _run_counters():
-        meta_path = os.path.join(out_dir, "index_meta.json")
-        counters = None
-        if not force and os.path.exists(meta_path):
-            with open(meta_path) as f:
-                counters = json.load(f).get("counters")  # resume: reuse
-        if counters is None:
-            post = spark.read.parquet(os.path.join(out_dir, "postings"))
-            crow = post.agg(
-                F.count("*").alias("blocks"),
-                F.sum("doc_count").alias("postings"),
-                F.sum(F.length("doc_ids_enc") + F.length("freqs_enc")).alias("bytes"),
-            ).collect()[0]
-            counters = {
-                "docs_tokenized": int(total_docs),
-                "posting_blocks": int(crow["blocks"] or 0),
-                "postings_emitted": int(crow["postings"] or 0),
-                "posting_bytes_compressed": int(crow["bytes"] or 0),
-            }
-            m_cnt["ran"] = True
+            _write_once(ids, ids_path, force=True)
+            meta_tmp = {"total_docs": total_docs, "shard_size": shard_size}
+            with open(os.path.join(out_dir, "_assign_meta.json"), "w") as f:
+                json.dump(meta_tmp, f)
+            m["ran"] = True
         else:
-            m_cnt["ran"] = False
-        m_cnt.update(counters)
-        m_cnt["finished"] = time.time() - t_start
-        return counters
+            m["ran"] = False
+        with open(os.path.join(out_dir, "_assign_meta.json")) as f:
+            meta_tmp = json.load(f)
+        total_docs = meta_tmp["total_docs"]
+        shard_size = meta_tmp["shard_size"]
+        m["total_docs"] = total_docs
+        m["finished"] = time.time() - t_start
 
-    fut_td = pool.submit(_run_term_dict)
-    fut_cnt = pool.submit(_run_counters)
-    fut_pos.result()
-    fut_td.result()
-    counters = fut_cnt.result()
-    fut_doc_map.result()
-    fut_text.result()
-    pool.shutdown()
+        ids_df = spark.read.parquet(ids_path)
+        # Broadcast the ids table while it comfortably fits executor memory —
+        # decided by on-disk bytes (x4 decompression headroom), not row count:
+        # a 20M-row url table is multi-GB in memory. Beyond the cap the join
+        # degrades gracefully to AQE sort-merge.
+        ids_bytes = sum(
+            e.stat().st_size for e in os.scandir(ids_path)
+            if e.is_file() and e.name.endswith(".parquet")
+        )
+        ids_broadcast = ids_bytes * 4 <= 512 * 1024 * 1024
+        if ids_broadcast:
+            ids_df = F.broadcast(ids_df)
+        m["ids_parquet_bytes"] = ids_bytes
+        m["ids_broadcast"] = ids_broadcast
+        docs = stage.join(ids_df, "url")
+
+        # --- Phase 3: doc_map + index_stats (+ optional pagerank) ---
+        doc_map_path = os.path.join(out_dir, "doc_map")
+        need_doc_map = force or not os.path.exists(
+            os.path.join(doc_map_path, "_SUCCESS"))
+        pagerank_col = F.lit(0.0).cast("float").alias("pagerank")
+        docs_for_map = docs
+        if pagerank and need_doc_map:
+            m = phase("pagerank")
+            from .pagerank import spark_pagerank
+
+            link_edges = stage.select(
+                F.col("url").alias("src"), F.explode("links").alias("dst")
+            )
+            graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
+                link_edges.select(F.col("dst").alias("node"))
+            )
+            pr = spark_pagerank(link_edges, graph_nodes)
+            docs_for_map = docs.join(
+                pr.select(F.col("node").alias("url"),
+                          F.col("pagerank").alias("_pr")),
+                "url", "left",
+            )
+            # doc_map stores float32, like the reference's pagerank binary
+            pagerank_col = F.coalesce(F.col("_pr"), F.lit(0.0)).cast("float").alias("pagerank")
+            m["ran"] = True
+            m["finished"] = time.time() - t_start
+        m = phase("doc_map")
+        doc_map = docs_for_map.select(
+            "shard", "doc_id", "local_id", "url", "title",
+            "body_len", "title_len", "url_len", "desc_len", "static_rank",
+            pagerank_col,
+        )
+
+        def _run_doc_map():
+            m["ran"] = _write_once(doc_map, doc_map_path,
+                                   partition_by=["shard"], force=force)
+            m["finished"] = time.time() - t_start
+
+        # doc_map is not read by the postings/positions chain — only
+        # index_stats is (avg_body) — so its write overlaps the stats write
+        # and is joined with the other deferred phases at the end.
+        fut_doc_map = pool.submit(_run_doc_map)
+        stats = docs.groupBy("shard").agg(
+            F.count("*").alias("doc_count"),
+            F.sum("body_len").alias("total_body"),
+            F.sum("title_len").alias("total_title"),
+            F.sum("url_len").alias("total_url"),
+            F.sum("desc_len").alias("total_desc"),
+        )
+        m["ran_stats"] = _write_once(stats, os.path.join(out_dir, "index_stats"), force=force)
+
+        # --- Phase 4: postings + positions blocks (salted against head-term
+        # skew), submitted concurrently — each is its own explode+shuffle over
+        # ``docs`` with <= sort_partitions tasks per stage, so neither alone
+        # fills the executor; overlapping them hides the smaller (positions)
+        # under the larger (postings) with identical per-table plans/bytes.
+        m_post = phase("postings")
+        m_pos = phase("positions")
+        # per-shard average body length for the tight per-block max-score bound
+        avg_body = {
+            int(r["shard"]): (int(r["total_body"]) / int(r["doc_count"])
+                              if int(r["doc_count"]) else 0.0)
+            for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
+        }
+        exploded = _explode_postings(docs)
+
+        def _run_postings():
+            posting_blocks = (
+                exploded.drop("flags", "positions")
+                .repartition(sort_partitions, "term", "shard", "salt")
+                .sortWithinPartitions("term", "shard", "salt")
+                .mapInPandas(_make_posting_blocks(avg_body), schema=POSTING_BLOCK_SCHEMA)
+                .withColumn(
+                    "bucket",
+                    F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
+                )
+            )
+            m_post["ran"] = _write_once(
+                posting_blocks.repartition("bucket"),
+                os.path.join(out_dir, "postings"),
+                partition_by=["bucket"],
+                force=force,
+            )
+            # per-task Python memory bound for the streaming emit: one Arrow
+            # batch plus one carried group (salt bounds a group to SALT_RANGE
+            # postings)
+            arrow_batch = int(spark.conf.get(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"))
+            m_post["emit_peak_rows_bound"] = arrow_batch + SALT_RANGE
+            m_post["finished"] = time.time() - t_start
+
+        def _run_positions():
+            position_blocks = (
+                exploded.drop("body_len").filter(F.size("positions") > 0)
+                .repartition(sort_partitions, "term", "shard", "salt")
+                .sortWithinPartitions("term", "shard", "salt")
+                .mapInArrow(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
+                .withColumn(
+                    "bucket",
+                    F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
+                )
+            )
+            m_pos["ran"] = _write_once(
+                position_blocks.repartition("bucket"),
+                os.path.join(out_dir, "positions"),
+                partition_by=["bucket"],
+                force=force,
+            )
+            m_pos["finished"] = time.time() - t_start
+
+        fut_post = pool.submit(_run_postings)
+        fut_pos = pool.submit(_run_positions)
+        fut_post.result()
+
+        # --- Phase 5: term dictionary (df / cf per shard) + lineage counters,
+        # submitted concurrently as soon as the postings table lands — both are
+        # small aggregations over it and need not wait for positions.
+        m_td = phase("term_dict")
+        m_cnt = phase("counters")
+
+        def _run_term_dict():
+            term_dict = (
+                spark.read.parquet(os.path.join(out_dir, "postings"))
+                .groupBy("term", "shard", "bucket")
+                .agg(
+                    F.sum("doc_count").alias("df"),
+                    F.sum("freq_sum").alias("cf"),
+                )
+            )
+            m_td["ran"] = _write_once(
+                term_dict, os.path.join(out_dir, "term_dict"),
+                partition_by=["bucket"], force=force,
+            )
+            m_td["finished"] = time.time() - t_start
+
+        # per-partition lineage counters (north_rule: docs tokenized, postings
+        # emitted, bytes compressed, logged to a metrics table)
+        def _run_counters():
+            meta_path = os.path.join(out_dir, "index_meta.json")
+            counters = None
+            if not force and os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    counters = json.load(f).get("counters")  # resume: reuse
+            if counters is None:
+                post = spark.read.parquet(os.path.join(out_dir, "postings"))
+                crow = post.agg(
+                    F.count("*").alias("blocks"),
+                    F.sum("doc_count").alias("postings"),
+                    F.sum(F.length("doc_ids_enc") + F.length("freqs_enc")).alias("bytes"),
+                ).collect()[0]
+                counters = {
+                    "docs_tokenized": int(total_docs),
+                    "posting_blocks": int(crow["blocks"] or 0),
+                    "postings_emitted": int(crow["postings"] or 0),
+                    "posting_bytes_compressed": int(crow["bytes"] or 0),
+                }
+                m_cnt["ran"] = True
+            else:
+                m_cnt["ran"] = False
+            m_cnt.update(counters)
+            m_cnt["finished"] = time.time() - t_start
+            return counters
+
+        fut_td = pool.submit(_run_term_dict)
+        fut_cnt = pool.submit(_run_counters)
+        fut_pos.result()
+        fut_td.result()
+        counters = fut_cnt.result()
+        fut_doc_map.result()
+        fut_text.result()
+    finally:
+        # on success a no-op join; on an exception it blocks until
+        # every in-flight threaded write drains, so no stray job
+        # races a caller's cleanup/retry of this index dir
+        pool.shutdown(wait=True)
 
     if force:
         # a full (re)build folds away the append-merge LSM state: every
@@ -1254,322 +1259,327 @@ def _append_delta_derived(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=4)
+    try:
 
-    # --- doc_text: url-sorted GENERATION dir (snippet fetch reads all
-    # generations latest-wins, so a re-crawled url's new text shadows the
-    # base sidecar row; each file carries its own url min/max for IN-list
-    # pruning; compact_index folds the generations away) ---
-    m_text = phase("doc_text")
-    n_gen = len(_doc_text_generations(out_dir))
-    text_gen = os.path.join(out_dir, f"doc_text_delta_{n_gen:05d}")
+        # --- doc_text: url-sorted GENERATION dir (snippet fetch reads all
+        # generations latest-wins, so a re-crawled url's new text shadows the
+        # base sidecar row; each file carries its own url min/max for IN-list
+        # pruning; compact_index folds the generations away) ---
+        m_text = phase("doc_text")
+        n_gen = len(_doc_text_generations(out_dir))
+        text_gen = os.path.join(out_dir, f"doc_text_delta_{n_gen:05d}")
 
-    def _run_doc_text():
+        def _run_doc_text():
+            (
+                delta.select("url", "title", "desc", "text")
+                .repartitionByRange(sort_partitions, "url")
+                .sortWithinPartitions("url")
+                .write.mode("overwrite").parquet(text_gen)
+            )
+            m_text["ran"] = True
+            m_text["finished"] = time.time() - t_start
+
+        fut_text = pool.submit(_run_doc_text)
+
+        # --- re-crawled urls: tombstone the OLD docids (LSM delete) ---
+        # Fully distributed (VERDICT r04 nit: the old path collect()ed every
+        # replaced id row to the driver — delta-bounded but needlessly so):
+        # the replaced set is materialized ONCE to a tmp parquet (doc_ids ⋈
+        # delta urls, anti-⋈ existing tombstones so only the LIVE row of a
+        # twice-re-crawled url dies) and every consumer — the tombstone
+        # append, the stats subtraction, the dead-term df/cf subtraction —
+        # joins against that tmp table. Nothing about the delta ever
+        # round-trips through the driver beyond a count. Reads only pre-merge
+        # tables (doc_ids adoption happens at the very end), so it overlaps
+        # the docid-assignment chain.
+        m_tomb = phase("tombstones")
+        ids_path = os.path.join(out_dir, "doc_ids")
+        tomb_path = os.path.join(out_dir, "tombstones")
+        tomb_tmp = os.path.join(out_dir, "_tombstones_delta")
+
+        def _run_tombstones():
+            replaced = (
+                spark.read.parquet(ids_path)
+                .join(F.broadcast(delta.select("url")), "url")
+                .select("url", "doc_id", "shard", "local_id")
+            )
+            if os.path.isdir(tomb_path) and _dir_parquet_bytes(tomb_path):
+                replaced = replaced.join(
+                    spark.read.parquet(tomb_path).select("shard", "local_id"),
+                    ["shard", "local_id"], "left_anti",
+                )
+            replaced.write.mode("overwrite").parquet(tomb_tmp)
+            replaced_df = spark.read.parquet(tomb_tmp)
+            n_replaced = replaced_df.count()
+            m_tomb["replaced_docs"] = n_replaced
+            if n_replaced:
+                (
+                    replaced_df.select("shard", "local_id")
+                    .coalesce(max(1, n_replaced // 5_000_000 + 1))
+                    .write.mode("append").parquet(tomb_path)
+                )
+            m_tomb["finished"] = time.time() - t_start
+            return replaced_df, n_replaced
+
+        fut_tomb = pool.submit(_run_tombstones)
+
+        # --- delta docid assignment: url-ranked after the existing corpus ---
+        m = phase("assign_ids_delta")
+        ids_stage = os.path.join(out_dir, "_ids_delta_stage")
         (
-            delta.select("url", "title", "desc", "text")
+            delta.select("url")
             .repartitionByRange(sort_partitions, "url")
             .sortWithinPartitions("url")
-            .write.mode("overwrite").parquet(text_gen)
+            .withColumn("pid", F.spark_partition_id())
+            .write.mode("overwrite").parquet(ids_stage)
         )
-        m_text["ran"] = True
-        m_text["finished"] = time.time() - t_start
+        staged = spark.read.parquet(ids_stage)
+        counts = _pid_counts_from_footers(ids_stage)
+        if counts is None:  # footer stats unavailable — the one-job fallback
+            counts = {
+                int(r["pid"]): int(r["cnt"])
+                for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+            }
+        n_delta = sum(counts.values())
+        m["delta_docs"] = n_delta
+        if n_delta == 0:
+            import shutil
 
-    fut_text = pool.submit(_run_doc_text)
+            # join the speculative early tasks and undo their (empty) outputs
+            # so a no-op merge leaves the index exactly as it found it
+            fut_text.result()
+            fut_tomb.result()
+            pool.shutdown()
+            shutil.rmtree(text_gen, ignore_errors=True)
+            shutil.rmtree(tomb_tmp, ignore_errors=True)
+            shutil.rmtree(ids_stage, ignore_errors=True)
+            m["finished"] = time.time() - t_start
+            return {"meta": meta, "phases": metrics,
+                    "wall_s": time.time() - t_start, "mode": "append"}
+        offsets = {}
+        acc = watermark
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
 
-    # --- re-crawled urls: tombstone the OLD docids (LSM delete) ---
-    # Fully distributed (VERDICT r04 nit: the old path collect()ed every
-    # replaced id row to the driver — delta-bounded but needlessly so):
-    # the replaced set is materialized ONCE to a tmp parquet (doc_ids ⋈
-    # delta urls, anti-⋈ existing tombstones so only the LIVE row of a
-    # twice-re-crawled url dies) and every consumer — the tombstone
-    # append, the stats subtraction, the dead-term df/cf subtraction —
-    # joins against that tmp table. Nothing about the delta ever
-    # round-trips through the driver beyond a count. Reads only pre-merge
-    # tables (doc_ids adoption happens at the very end), so it overlaps
-    # the docid-assignment chain.
-    m_tomb = phase("tombstones")
-    ids_path = os.path.join(out_dir, "doc_ids")
-    tomb_path = os.path.join(out_dir, "tombstones")
-    tomb_tmp = os.path.join(out_dir, "_tombstones_delta")
+        def _assign(table):
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-    def _run_tombstones():
-        replaced = (
-            spark.read.parquet(ids_path)
-            .join(F.broadcast(delta.select("url")), "url")
-            .select("url", "doc_id", "shard", "local_id")
-        )
-        if os.path.isdir(tomb_path) and _dir_parquet_bytes(tomb_path):
-            replaced = replaced.join(
-                spark.read.parquet(tomb_path).select("shard", "local_id"),
-                ["shard", "local_id"], "left_anti",
+            if table.num_rows == 0:
+                return table.drop_columns(["pid"])
+            order = pc.sort_indices(table, sort_keys=[("url", "ascending")])
+            table = table.take(order)
+            u = table.column("url").combine_chunks()
+            if table.num_rows > 1:
+                dup = pc.any(pc.equal(u.slice(1), u.slice(0, len(u) - 1)))
+                if dup.as_py():
+                    raise ValueError("duplicate url in append delta")
+            base = offsets[table.column("pid")[0].as_py()]
+            doc_id = base + np.arange(table.num_rows, dtype=np.int64)
+            shard = (doc_id // shard_size).astype(np.int32)
+            local = doc_id - shard.astype(np.int64) * shard_size
+            table = table.drop_columns(["pid"])
+            return (
+                table.append_column("doc_id", pa.array(doc_id, pa.int64()))
+                .append_column("shard", pa.array(shard, pa.int32()))
+                .append_column("local_id", pa.array(local, pa.int64()))
             )
-        replaced.write.mode("overwrite").parquet(tomb_tmp)
-        replaced_df = spark.read.parquet(tomb_tmp)
-        n_replaced = replaced_df.count()
-        m_tomb["replaced_docs"] = n_replaced
-        if n_replaced:
-            (
-                replaced_df.select("shard", "local_id")
-                .coalesce(max(1, n_replaced // 5_000_000 + 1))
-                .write.mode("append").parquet(tomb_path)
-            )
-        m_tomb["finished"] = time.time() - t_start
-        return replaced_df, n_replaced
 
-    fut_tomb = pool.submit(_run_tombstones)
-
-    # --- delta docid assignment: url-ranked after the existing corpus ---
-    m = phase("assign_ids_delta")
-    ids_stage = os.path.join(out_dir, "_ids_delta_stage")
-    (
-        delta.select("url")
-        .repartitionByRange(sort_partitions, "url")
-        .sortWithinPartitions("url")
-        .withColumn("pid", F.spark_partition_id())
-        .write.mode("overwrite").parquet(ids_stage)
-    )
-    staged = spark.read.parquet(ids_stage)
-    counts = _pid_counts_from_footers(ids_stage)
-    if counts is None:  # footer stats unavailable — the one-job fallback
-        counts = {
-            int(r["pid"]): int(r["cnt"])
-            for r in staged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-        }
-    n_delta = sum(counts.values())
-    m["delta_docs"] = n_delta
-    if n_delta == 0:
-        import shutil
-
-        # join the speculative early tasks and undo their (empty) outputs
-        # so a no-op merge leaves the index exactly as it found it
-        fut_text.result()
-        fut_tomb.result()
-        pool.shutdown()
-        shutil.rmtree(text_gen, ignore_errors=True)
-        shutil.rmtree(tomb_tmp, ignore_errors=True)
-        shutil.rmtree(ids_stage, ignore_errors=True)
+        ids_tmp = os.path.join(out_dir, "_ids_delta")
+        staged.groupBy("pid").applyInArrow(
+            _assign, schema="url binary, doc_id long, shard int, local_id long"
+        ).write.mode("overwrite").parquet(ids_tmp)
+        # downstream phases read the delta ids from the tmp dir; the files are
+        # adopted into doc_ids only after the last consumer ran (end of merge)
+        ids_delta = spark.read.parquet(ids_tmp)
         m["finished"] = time.time() - t_start
-        return {"meta": meta, "phases": metrics,
-                "wall_s": time.time() - t_start, "mode": "append"}
-    offsets = {}
-    acc = watermark
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
 
-    def _assign(table):
-        import pyarrow as pa
-        import pyarrow.compute as pc
+        docs = delta.join(F.broadcast(ids_delta), "url")
+        exploded = _explode_postings(docs)
 
-        if table.num_rows == 0:
-            return table.drop_columns(["pid"])
-        order = pc.sort_indices(table, sort_keys=[("url", "ascending")])
-        table = table.take(order)
-        u = table.column("url").combine_chunks()
-        if table.num_rows > 1:
-            dup = pc.any(pc.equal(u.slice(1), u.slice(0, len(u) - 1)))
-            if dup.as_py():
-                raise ValueError("duplicate url in append delta")
-        base = offsets[table.column("pid")[0].as_py()]
-        doc_id = base + np.arange(table.num_rows, dtype=np.int64)
-        shard = (doc_id // shard_size).astype(np.int32)
-        local = doc_id - shard.astype(np.int64) * shard_size
-        table = table.drop_columns(["pid"])
-        return (
-            table.append_column("doc_id", pa.array(doc_id, pa.int64()))
-            .append_column("shard", pa.array(shard, pa.int32()))
-            .append_column("local_id", pa.array(local, pa.int64()))
+        # --- positions: encode the delta alone, adopt files — needs only the
+        # delta ids, so it overlaps tombstone resolution, stats and postings
+        m_pos = phase("positions")
+        positions_path = os.path.join(out_dir, "positions")
+        pos_tmp = os.path.join(out_dir, "_positions_delta")
+
+        def _run_positions():
+            m_pos["table_bytes_before"] = _dir_parquet_bytes(positions_path)
+            (
+                exploded.drop("body_len").filter(F.size("positions") > 0)
+                .repartition(sort_partitions, "term", "shard", "salt")
+                .sortWithinPartitions("term", "shard", "salt")
+                .mapInArrow(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
+                .withColumn(
+                    "bucket",
+                    F.crc32(F.encode(F.col("term"), "ISO-8859-1"))
+                    % F.lit(num_buckets),
+                )
+                .repartition("bucket")
+                .write.mode("overwrite").partitionBy("bucket").parquet(pos_tmp)
+            )
+            m_pos["appended_bytes"] = _adopt_parquet_files(pos_tmp, positions_path)
+            m_pos["ran"] = True
+            m_pos["finished"] = time.time() - t_start
+
+        fut_pos = pool.submit(_run_positions)
+
+        replaced_df, n_replaced = fut_tomb.result()
+
+        # --- doc_map: APPEND-ONLY under the LSM layout (VERDICT r04 #1) —
+        # delta rows land next to the existing ones and a re-crawl's dead
+        # rows STAY on disk, masked at read by the tombstone set
+        # (engine._worker_image / read_doc_map_live) and folded out only by
+        # compact_index — the same treatment postings already get. O(delta)
+        # bytes written, no corpus shuffle. Stats update incrementally
+        # (old + delta - dead; exact integer sums, so identical to a fresh
+        # recompute over the live rows — gated in tests/test_append_merge.py).
+        # The dead-row stats subtraction scans doc_map BEFORE the append write
+        # is submitted (replaced rows are all pre-merge rows, so the result is
+        # identical — and the scan never races the concurrent append commit).
+        m = phase("doc_map_delta")
+        doc_map_path = os.path.join(out_dir, "doc_map")
+        m["table_bytes_before"] = _dir_parquet_bytes(doc_map_path)
+        stats_cols = ["shard", "doc_count", "total_body", "total_title",
+                      "total_url", "total_desc"]
+        stats_parts = (
+            spark.read.parquet(os.path.join(out_dir, "index_stats"))
+            .select(*stats_cols)
+            .unionByName(
+                docs.groupBy("shard").agg(
+                    F.count("*").alias("doc_count"),
+                    F.sum("body_len").alias("total_body"),
+                    F.sum("title_len").alias("total_title"),
+                    F.sum("url_len").alias("total_url"),
+                    F.sum("desc_len").alias("total_desc"),
+                )
+            )
         )
-
-    ids_tmp = os.path.join(out_dir, "_ids_delta")
-    staged.groupBy("pid").applyInArrow(
-        _assign, schema="url binary, doc_id long, shard int, local_id long"
-    ).write.mode("overwrite").parquet(ids_tmp)
-    # downstream phases read the delta ids from the tmp dir; the files are
-    # adopted into doc_ids only after the last consumer ran (end of merge)
-    ids_delta = spark.read.parquet(ids_tmp)
-    m["finished"] = time.time() - t_start
-
-    docs = delta.join(F.broadcast(ids_delta), "url")
-    exploded = _explode_postings(docs)
-
-    # --- positions: encode the delta alone, adopt files — needs only the
-    # delta ids, so it overlaps tombstone resolution, stats and postings
-    m_pos = phase("positions")
-    positions_path = os.path.join(out_dir, "positions")
-    pos_tmp = os.path.join(out_dir, "_positions_delta")
-
-    def _run_positions():
-        m_pos["table_bytes_before"] = _dir_parquet_bytes(positions_path)
+        if n_replaced:
+            # subtract the dead docs' contributions, read from their (still
+            # on-disk) doc_map rows — a broadcast semi-join, O(delta) rows
+            stats_parts = stats_parts.unionByName(
+                spark.read.parquet(doc_map_path)
+                .join(F.broadcast(replaced_df.select("doc_id")), "doc_id")
+                .groupBy("shard")
+                .agg(
+                    (-F.count("*")).alias("doc_count"),
+                    (-F.sum("body_len")).alias("total_body"),
+                    (-F.sum("title_len")).alias("total_title"),
+                    (-F.sum("url_len")).alias("total_url"),
+                    (-F.sum("desc_len")).alias("total_desc"),
+                )
+            )
+        stats_tmp = os.path.join(out_dir, "_index_stats_new")
         (
-            exploded.drop("body_len").filter(F.size("positions") > 0)
+            stats_parts.groupBy("shard")
+            .agg(*[F.sum(c).alias(c) for c in stats_cols if c != "shard"])
+            .write.mode("overwrite").parquet(stats_tmp)
+        )
+        _swap_dir(stats_tmp, os.path.join(out_dir, "index_stats"))
+        avg_body = {
+            int(r["shard"]): (int(r["total_body"]) / int(r["doc_count"])
+                              if int(r["doc_count"]) else 0.0)
+            for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
+        }
+        m_map = m
+
+        def _run_doc_map_append():
+            doc_map_delta = docs.select(
+                "shard", "doc_id", "local_id", "url", "title",
+                "body_len", "title_len", "url_len", "desc_len", "static_rank",
+                F.lit(0.0).cast("float").alias("pagerank"),
+            )
+            doc_map_delta.write.mode("append").partitionBy("shard").parquet(
+                doc_map_path)
+            m_map["appended_bytes"] = (
+                _dir_parquet_bytes(doc_map_path) - m_map["table_bytes_before"])
+            m_map["ran"] = True
+            m_map["finished"] = time.time() - t_start
+
+        # the append write lands beside the postings encode; submitted only
+        # after the stats job (whose dead-row subtraction scans the pre-append
+        # doc_map) has fully executed
+        fut_map = pool.submit(_run_doc_map_append)
+
+        # --- postings: encode the delta alone, adopt files, merge term_dict ---
+        m = phase("postings")
+        postings_path = os.path.join(out_dir, "postings")
+        m["table_bytes_before"] = _dir_parquet_bytes(postings_path)
+        post_tmp = os.path.join(out_dir, "_postings_delta")
+        (
+            exploded.drop("flags", "positions")
             .repartition(sort_partitions, "term", "shard", "salt")
             .sortWithinPartitions("term", "shard", "salt")
-            .mapInArrow(_position_blocks, schema=POSITION_BLOCK_SCHEMA)
+            .mapInPandas(_make_posting_blocks(avg_body), schema=POSTING_BLOCK_SCHEMA)
             .withColumn(
                 "bucket",
-                F.crc32(F.encode(F.col("term"), "ISO-8859-1"))
-                % F.lit(num_buckets),
+                F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
             )
             .repartition("bucket")
-            .write.mode("overwrite").partitionBy("bucket").parquet(pos_tmp)
+            .write.mode("overwrite").partitionBy("bucket").parquet(post_tmp)
         )
-        m_pos["appended_bytes"] = _adopt_parquet_files(pos_tmp, positions_path)
-        m_pos["ran"] = True
-        m_pos["finished"] = time.time() - t_start
-
-    fut_pos = pool.submit(_run_positions)
-
-    replaced_df, n_replaced = fut_tomb.result()
-
-    # --- doc_map: APPEND-ONLY under the LSM layout (VERDICT r04 #1) —
-    # delta rows land next to the existing ones and a re-crawl's dead
-    # rows STAY on disk, masked at read by the tombstone set
-    # (engine._worker_image / read_doc_map_live) and folded out only by
-    # compact_index — the same treatment postings already get. O(delta)
-    # bytes written, no corpus shuffle. Stats update incrementally
-    # (old + delta - dead; exact integer sums, so identical to a fresh
-    # recompute over the live rows — gated in tests/test_append_merge.py).
-    # The dead-row stats subtraction scans doc_map BEFORE the append write
-    # is submitted (replaced rows are all pre-merge rows, so the result is
-    # identical — and the scan never races the concurrent append commit).
-    m = phase("doc_map_delta")
-    doc_map_path = os.path.join(out_dir, "doc_map")
-    m["table_bytes_before"] = _dir_parquet_bytes(doc_map_path)
-    stats_cols = ["shard", "doc_count", "total_body", "total_title",
-                  "total_url", "total_desc"]
-    stats_parts = (
-        spark.read.parquet(os.path.join(out_dir, "index_stats"))
-        .select(*stats_cols)
-        .unionByName(
-            docs.groupBy("shard").agg(
-                F.count("*").alias("doc_count"),
-                F.sum("body_len").alias("total_body"),
-                F.sum("title_len").alias("total_title"),
-                F.sum("url_len").alias("total_url"),
-                F.sum("desc_len").alias("total_desc"),
+        delta_post = spark.read.parquet(post_tmp)
+        crow = delta_post.agg(
+            F.count("*").alias("blocks"),
+            F.sum("doc_count").alias("postings"),
+            F.sum(F.length("doc_ids_enc") + F.length("freqs_enc")).alias("bytes"),
+        ).collect()[0]
+        # dictionary-sized rewrite: union old rows with the delta's df/cf and
+        # re-aggregate — O(|dictionary| + |delta terms|), no posting decode.
+        # Tombstoned docs SUBTRACT their per-(term, shard) df/cf, computed
+        # from their old stage rows (the only place their term lists live) —
+        # rows netting to df 0 drop out, exactly as a fresh build would
+        term_tmp = os.path.join(out_dir, "_term_dict_new")
+        delta_term = delta_post.groupBy("term", "shard", "bucket").agg(
+            F.sum("doc_count").alias("df"), F.sum("freq_sum").alias("cf")
+        )
+        if n_replaced:
+            dead_term = (
+                old_stage.join(
+                    F.broadcast(replaced_df.select("url", "shard")), "url")
+                .select("shard", F.explode(F.arrays_zip("terms", "freqs")).alias("t"))
+                .select("shard", F.col("t.terms").alias("term"),
+                        F.col("t.freqs").alias("freq"))
+                .groupBy("term", "shard")
+                .agg((-F.count("*")).alias("df"),
+                     (-F.sum("freq")).alias("cf"))
+                .withColumn(
+                    "bucket",
+                    F.crc32(F.encode(F.col("term"), "ISO-8859-1"))
+                    % F.lit(num_buckets),
+                )
+                .select("term", "shard", "bucket", "df", "cf")
             )
-        )
-    )
-    if n_replaced:
-        # subtract the dead docs' contributions, read from their (still
-        # on-disk) doc_map rows — a broadcast semi-join, O(delta) rows
-        stats_parts = stats_parts.unionByName(
-            spark.read.parquet(doc_map_path)
-            .join(F.broadcast(replaced_df.select("doc_id")), "doc_id")
-            .groupBy("shard")
-            .agg(
-                (-F.count("*")).alias("doc_count"),
-                (-F.sum("body_len")).alias("total_body"),
-                (-F.sum("title_len")).alias("total_title"),
-                (-F.sum("url_len")).alias("total_url"),
-                (-F.sum("desc_len")).alias("total_desc"),
-            )
-        )
-    stats_tmp = os.path.join(out_dir, "_index_stats_new")
-    (
-        stats_parts.groupBy("shard")
-        .agg(*[F.sum(c).alias(c) for c in stats_cols if c != "shard"])
-        .write.mode("overwrite").parquet(stats_tmp)
-    )
-    _swap_dir(stats_tmp, os.path.join(out_dir, "index_stats"))
-    avg_body = {
-        int(r["shard"]): (int(r["total_body"]) / int(r["doc_count"])
-                          if int(r["doc_count"]) else 0.0)
-        for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
-    }
-    m_map = m
-
-    def _run_doc_map_append():
-        doc_map_delta = docs.select(
-            "shard", "doc_id", "local_id", "url", "title",
-            "body_len", "title_len", "url_len", "desc_len", "static_rank",
-            F.lit(0.0).cast("float").alias("pagerank"),
-        )
-        doc_map_delta.write.mode("append").partitionBy("shard").parquet(
-            doc_map_path)
-        m_map["appended_bytes"] = (
-            _dir_parquet_bytes(doc_map_path) - m_map["table_bytes_before"])
-        m_map["ran"] = True
-        m_map["finished"] = time.time() - t_start
-
-    # the append write lands beside the postings encode; submitted only
-    # after the stats job (whose dead-row subtraction scans the pre-append
-    # doc_map) has fully executed
-    fut_map = pool.submit(_run_doc_map_append)
-
-    # --- postings: encode the delta alone, adopt files, merge term_dict ---
-    m = phase("postings")
-    postings_path = os.path.join(out_dir, "postings")
-    m["table_bytes_before"] = _dir_parquet_bytes(postings_path)
-    post_tmp = os.path.join(out_dir, "_postings_delta")
-    (
-        exploded.drop("flags", "positions")
-        .repartition(sort_partitions, "term", "shard", "salt")
-        .sortWithinPartitions("term", "shard", "salt")
-        .mapInPandas(_make_posting_blocks(avg_body), schema=POSTING_BLOCK_SCHEMA)
-        .withColumn(
-            "bucket",
-            F.crc32(F.encode(F.col("term"), "ISO-8859-1")) % F.lit(num_buckets),
-        )
-        .repartition("bucket")
-        .write.mode("overwrite").partitionBy("bucket").parquet(post_tmp)
-    )
-    delta_post = spark.read.parquet(post_tmp)
-    crow = delta_post.agg(
-        F.count("*").alias("blocks"),
-        F.sum("doc_count").alias("postings"),
-        F.sum(F.length("doc_ids_enc") + F.length("freqs_enc")).alias("bytes"),
-    ).collect()[0]
-    # dictionary-sized rewrite: union old rows with the delta's df/cf and
-    # re-aggregate — O(|dictionary| + |delta terms|), no posting decode.
-    # Tombstoned docs SUBTRACT their per-(term, shard) df/cf, computed
-    # from their old stage rows (the only place their term lists live) —
-    # rows netting to df 0 drop out, exactly as a fresh build would
-    term_tmp = os.path.join(out_dir, "_term_dict_new")
-    delta_term = delta_post.groupBy("term", "shard", "bucket").agg(
-        F.sum("doc_count").alias("df"), F.sum("freq_sum").alias("cf")
-    )
-    if n_replaced:
-        dead_term = (
-            old_stage.join(
-                F.broadcast(replaced_df.select("url", "shard")), "url")
-            .select("shard", F.explode(F.arrays_zip("terms", "freqs")).alias("t"))
-            .select("shard", F.col("t.terms").alias("term"),
-                    F.col("t.freqs").alias("freq"))
-            .groupBy("term", "shard")
-            .agg((-F.count("*")).alias("df"),
-                 (-F.sum("freq")).alias("cf"))
-            .withColumn(
-                "bucket",
-                F.crc32(F.encode(F.col("term"), "ISO-8859-1"))
-                % F.lit(num_buckets),
-            )
+            delta_term = delta_term.unionByName(dead_term)
+        (
+            spark.read.parquet(os.path.join(out_dir, "term_dict"))
             .select("term", "shard", "bucket", "df", "cf")
+            .unionByName(delta_term)
+            .groupBy("term", "shard", "bucket")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .filter(F.col("df") > 0)
+            .write.mode("overwrite").partitionBy("bucket").parquet(term_tmp)
         )
-        delta_term = delta_term.unionByName(dead_term)
-    (
-        spark.read.parquet(os.path.join(out_dir, "term_dict"))
-        .select("term", "shard", "bucket", "df", "cf")
-        .unionByName(delta_term)
-        .groupBy("term", "shard", "bucket")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        .filter(F.col("df") > 0)
-        .write.mode("overwrite").partitionBy("bucket").parquet(term_tmp)
-    )
-    _swap_dir(term_tmp, os.path.join(out_dir, "term_dict"))
-    m["appended_bytes"] = _adopt_parquet_files(post_tmp, postings_path)
-    # encoded posting payload alone — the scale-true marginal cost; the
-    # file-level appended_bytes additionally carries a per-append floor of
-    # ~num_buckets parquet footers (bounded, reclaimed by compact_index)
-    m["encoded_bytes"] = int(crow["bytes"] or 0)
-    m["ran"] = True
-    m["finished"] = time.time() - t_start
+        _swap_dir(term_tmp, os.path.join(out_dir, "term_dict"))
+        m["appended_bytes"] = _adopt_parquet_files(post_tmp, postings_path)
+        # encoded posting payload alone — the scale-true marginal cost; the
+        # file-level appended_bytes additionally carries a per-append floor of
+        # ~num_buckets parquet footers (bounded, reclaimed by compact_index)
+        m["encoded_bytes"] = int(crow["bytes"] or 0)
+        m["ran"] = True
+        m["finished"] = time.time() - t_start
 
-    # join the overlapped writes before the final metadata fold
-    fut_pos.result()
-    fut_map.result()
-    fut_text.result()
-    pool.shutdown()
+        # join the overlapped writes before the final metadata fold
+        fut_pos.result()
+        fut_map.result()
+        fut_text.result()
+    finally:
+        # on success a no-op join; on an exception it blocks until
+        # every in-flight threaded write drains, so no stray job
+        # races a caller's cleanup/retry of this index dir
+        pool.shutdown(wait=True)
 
     # --- counters + metadata ---
     m = phase("counters")
