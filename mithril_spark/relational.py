@@ -748,13 +748,16 @@ def q_dedup_minhash_lsh(spark, sf):
         .select("doc_id", F.col("bb.band").alias("band"),
                 F.col("bb.band_hash").alias("band_hash"))
     )
-    a = band_sig.alias("a")
-    b = band_sig.alias("b")
+    # one groupBy-bucket + pairwise expansion instead of a band_sig
+    # self-join: the join would evaluate the md5+16-min signature subtree
+    # once per side (exchange reuse does not deduplicate it) — see
+    # _simhash_candidates
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        band_sig.groupBy("band", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     # verify candidates with true jaccard >= 0.5
@@ -876,7 +879,16 @@ def _simhash_sketches(spark, sf):
 
 def _simhash_candidates(sim):
     """Banded candidate pairs from (doc_id, sim1, sim2) sketches — split out
-    so the sub-quadratic candidate-count property is directly testable."""
+    so the sub-quadratic candidate-count property is directly testable.
+
+    Shaped as ONE groupBy(band, band_val) + pairwise expansion rather than
+    a bands-to-bands self-join: the self-join evaluates the expensive
+    sketch subtree (120 conditional sums per token row) once PER SIDE —
+    Spark's exchange reuse does not deduplicate it — so bucketing computes
+    the sketches exactly once and roughly halves the wall time. The pair
+    count per bucket is B*(B-1)/2 either way (a degenerate hot bucket is
+    output-bound, not a join-strategy artifact); each bucket row carries
+    only (doc_id, sim1, sim2) triples, 24 bytes per member."""
     band_structs = []
     for i in range(4):  # half 1: 4 bands x 15 bits
         band_structs.append(F.struct(
@@ -894,12 +906,13 @@ def _simhash_candidates(sim):
         .select("doc_id", "sim1", "sim2",
                 F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = bands.groupBy("band", "band_val").agg(
+        F.collect_list(F.struct("doc_id", "sim1", "sim2")).alias("ds")
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        buckets.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
             F.col("a.sim1").alias("s1a"), F.col("a.sim2").alias("s2a"),
@@ -1002,14 +1015,15 @@ def q_dedup_embedding(spark, sf):
         "vec_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("vec_id", F.col("bb.band").alias("band"),
              F.col("bb.band_val").alias("band_val"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # one groupBy-bucket + pairwise expansion instead of a bands self-join:
+    # the join would evaluate the 16-dot-product signature subtree once per
+    # side (exchange reuse does not deduplicate it) — see _simhash_candidates
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"))
+        bands.groupBy("band", "band_val")
+        .agg(F.collect_list("vec_id").alias("vs"))
+        .select(F.explode("vs").alias("vec_a"), "vs")
+        .select("vec_a", F.explode("vs").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .distinct()
     )
     qa = q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
