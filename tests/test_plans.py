@@ -65,6 +65,31 @@ def test_engine_scan_prunes_bucket_partitions(spark, small_index):
     assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200]
 
 
+def test_dedup_candidates_evaluate_sketch_once(spark):
+    """Candidate generation must be ONE groupBy-bucket + pairwise explode,
+    never a banded self-join: a self-join evaluates the expensive sketch
+    subtree (120 conditional sums / md5+16-min minhash / 16 dot products)
+    once PER SIDE — Spark's exchange reuse does not deduplicate it. The
+    scan counts below are exact for the bucketed shape; the self-join
+    shape adds one more scan of the source per query."""
+    from mithril_spark import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    # simhash: the whole query (sketch + candidates + hamming verify from
+    # carried sketch columns) reads documents exactly once
+    p = _plan(R._simhash_candidates(R._simhash_sketches(spark, sf)))
+    assert p.count("Scan parquet") == 1, p[:3000]
+    p = _plan(R.q_dedup_simhash(spark, sf))
+    assert p.count("Scan parquet") == 1, p[:3000]
+    # embedding: bands + the two verify sides = 3 scans (self-join: 4)
+    p = _plan(R.q_dedup_embedding(spark, sf))
+    assert p.count("Scan parquet") == 3, p[:3000]
+    # minhash: shingles are cached; signature agg + two Jaccard-verify
+    # sides = 3 reads of the cache (self-join: 4)
+    p = _plan(R.q_dedup_minhash_lsh(spark, sf))
+    assert p.count("InMemoryTableScan") == 3, p[:3000]
+
+
 def test_posting_build_has_no_extra_shuffle(spark, small_index):
     """The doc_ids join in the build must be broadcast at small scale (no
     sort-merge shuffle of the heavy extracted rows)."""
