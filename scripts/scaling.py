@@ -121,9 +121,10 @@ pipeline itself is the hardware-ceiling-relative reading below.
 
 Adjacent to each pair, a no-Spark probe (`scripts/hw_probe.py`) measured the
 *hardware ceiling*: the same parse compute via bare multiprocessing at N and
-4N processes. Ceiling efficiencies: {[round(e, 2) for e in hw_eff]} — i.e.
-this shared VM itself does not deliver 4x more throughput to 4x more
-processes (memory bandwidth + tenancy). Relative to that ceiling the
+4N processes. Ceiling efficiencies: {[round(e, 2) for e in hw_eff]} —
+what this shared VM physically delivers to 4x processes at this N
+(near 1.0 the pairing isolates the job's scaling; below 1.0 the VM
+itself, not the job, is the limit). Relative to that ceiling the
 pipeline's scaling is {[round(p / h, 2) for p, h in zip(pair_eff, hw_eff)]};
 on a real cluster, where 4N executors bring 4x memory bandwidth and disks,
 the job-level efficiency tracks the relative number.
