@@ -45,7 +45,8 @@ def main() -> None:
     ap.add_argument("--mode", choices=["auto", "append", "recompact"],
                     default="auto")
     ap.add_argument("--pagerank", action="store_true",
-                    help="refresh PageRank (forces recompaction)")
+                    help="refresh PageRank after the merge (append mode "
+                         "writes the slim sidecar — no table rewrite)")
     ap.add_argument("--auto-compact-frac", type=float, default=0.02,
                     help="compact when tombstones exceed this corpus "
                          "fraction (0 disables the guard)")
@@ -71,7 +72,10 @@ def main() -> None:
     if args.compact:
         if args.pages or args.extracted:
             ap.error("--compact takes no delta input")
-        res = compact_index(spark, args.index, pagerank=args.pagerank)
+        # None = preserve: a pagerank-bearing index recomputes it into the
+        # fresh doc_map rather than silently zeroing the corpus's scores
+        res = compact_index(spark, args.index,
+                            pagerank=args.pagerank or None)
     elif (args.pages is None) == (args.extracted is None):
         ap.error("need exactly one of --pages / --extracted (or --compact)")
         return

@@ -134,14 +134,15 @@ def _image_dict(pdf: pd.DataFrame) -> dict:
 
 
 def _docmap_token(index_dir: str) -> str:
-    """Doc-map epoch token: changes whenever any doc_map OR tombstones
-    file changes, so worker-resident images invalidate across rebuilds
-    and append merges (the image is the doc_map rows MINUS the tombstone
-    mask — both inputs version it)."""
+    """Doc-map epoch token: changes whenever any doc_map, tombstones or
+    pagerank-sidecar file changes, so worker-resident images invalidate
+    across rebuilds, append merges AND refresh_pagerank runs (the image
+    is the doc_map rows MINUS the tombstone mask PLUS the sidecar
+    override — all three inputs version it)."""
     import hashlib
 
     parts = []
-    for sub in ("doc_map", "tombstones"):
+    for sub in ("doc_map", "tombstones", "pagerank"):
         root = os.path.join(index_dir, sub)
         for r, _dirs, files in os.walk(root):
             for f in files:
@@ -198,6 +199,28 @@ def _dead_locals(index_dir: str, shard: int) -> "np.ndarray | None":
     return np.unique(np.asarray(out, dtype=np.int64))
 
 
+def _apply_pagerank_sidecar(pdf: pd.DataFrame, index_dir: str,
+                            shard: int) -> pd.DataFrame:
+    """Override doc_map.pagerank with the refresh_pagerank sidecar
+    (indexer.refresh_pagerank): appended indexes keep doc_map append-only,
+    so refreshed GLOBAL scores live beside it keyed (shard, local_id).
+    Rows absent from the sidecar (docs appended after the refresh) keep
+    their doc_map value; no-op when the index has no sidecar."""
+    side = os.path.join(index_dir, "pagerank")
+    part = os.path.join(side, f"shard={shard}")
+    if not (os.path.exists(os.path.join(side, "_SUCCESS"))
+            and os.path.isdir(part)):
+        return pdf
+    import pyarrow.parquet as pq
+
+    spr = pq.read_table(part, columns=["local_id", "pagerank"]).to_pandas()
+    spr = spr.rename(columns={"pagerank": "_pr_side"})
+    pdf = pdf.merge(spr, on="local_id", how="left")
+    pdf["pagerank"] = (
+        pdf["_pr_side"].fillna(pdf["pagerank"]).astype("float32"))
+    return pdf.drop(columns=["_pr_side"])
+
+
 def _worker_image(index_dir: str, shard: int, token: str) -> dict:
     global _IMAGE_LOADS
     key = (index_dir, shard, token)
@@ -212,6 +235,7 @@ def _worker_image(index_dir: str, shard: int, token: str) -> dict:
     dead = _dead_locals(index_dir, shard)
     if dead is not None:
         pdf = pdf[~pdf["local_id"].isin(dead)]
+    pdf = _apply_pagerank_sidecar(pdf, index_dir, shard)
     img = _image_dict(pdf)
     _IMAGE_LOADS += 1
     _IMAGE_CACHE[key] = (img, _image_nbytes(img))
@@ -471,6 +495,7 @@ class SearchEngine:
                 dead = self._tombstones.get(int(s))
                 if dead is not None and len(dead):
                     grp = grp[~grp["local_id"].isin(dead)]
+                grp = _apply_pagerank_sidecar(grp, index_dir, int(s))
                 self._driver_images[int(s)] = _image_dict(grp)
             # term store too, when the WHOLE index fits the budget: then a
             # small-payload query runs with ZERO Spark jobs — resident

@@ -818,6 +818,10 @@ def _build_derived(
 
         shutil.rmtree(os.path.join(out_dir, "tombstones"),
                       ignore_errors=True)
+        # the refresh_pagerank sidecar folds into doc_map on any full
+        # rebuild (real values recomputed with pagerank=True, or the
+        # index is genuinely pagerank-less again)
+        shutil.rmtree(os.path.join(out_dir, "pagerank"), ignore_errors=True)
         for g in _doc_text_generations(out_dir):
             shutil.rmtree(os.path.join(out_dir, g), ignore_errors=True)
 
@@ -931,7 +935,10 @@ def _index_has_pagerank(spark: SparkSession, index_dir: str,
     built before that flag existed (pre-r5) fall back to a LIMIT-1 probe
     of the doc_map's pagerank column — cheap (pruned scan, first nonzero
     row short-circuits) and exact (a pagerank-less build writes 0.0
-    everywhere)."""
+    everywhere). A refresh_pagerank sidecar overrides everything: it IS
+    real pagerank, regardless of what the last full build computed."""
+    if os.path.exists(os.path.join(index_dir, "pagerank", "_SUCCESS")):
+        return True
     flag = meta.get("built_with_pagerank")
     if flag is not None:
         return bool(flag)
@@ -958,14 +965,27 @@ def read_doc_map_live(spark: SparkSession, index_dir: str) -> DataFrame:
 
     Append-mode merges leave a re-crawled url's old row on disk (doc_map
     is append-only, like postings); this masks those rows via an anti-join
-    against the delta-bounded tombstone set (broadcast). Identity on any
-    index without replacement appends; ``compact_index`` folds the dead
-    rows away physically."""
+    against the delta-bounded tombstone set (broadcast). When a
+    ``refresh_pagerank`` sidecar exists its values override the (stale)
+    ``pagerank`` column. Identity on any index without replacement appends
+    or refreshes; ``compact_index`` folds both away physically."""
     dm = spark.read.parquet(os.path.join(index_dir, "doc_map"))
     tomb = _tombstones_df(spark, index_dir)
-    if tomb is None:
-        return dm
-    return dm.join(F.broadcast(tomb), ["shard", "local_id"], "left_anti")
+    if tomb is not None:
+        dm = dm.join(F.broadcast(tomb), ["shard", "local_id"], "left_anti")
+    side = os.path.join(index_dir, "pagerank")
+    if os.path.exists(os.path.join(side, "_SUCCESS")):
+        # O(corpus)-row slim table: a plain shuffle join, never broadcast.
+        # left join + coalesce keeps doc_map's value for docs appended
+        # AFTER the refresh (absent from the sidecar).
+        pr = spark.read.parquet(side).select(
+            "shard", "local_id", F.col("pagerank").alias("_pr_side"))
+        dm = (
+            dm.join(pr, ["shard", "local_id"], "left")
+            .withColumn("pagerank", F.coalesce("_pr_side", "pagerank"))
+            .drop("_pr_side")
+        )
+    return dm
 
 
 def read_doc_ids_live(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -975,6 +995,58 @@ def read_doc_ids_live(spark: SparkSession, index_dir: str) -> DataFrame:
     if tomb is None:
         return ids
     return ids.join(F.broadcast(tomb), ["shard", "local_id"], "left_anti")
+
+
+def refresh_pagerank(spark: SparkSession, index_dir: str) -> dict:
+    """Recompute global pagerank over the LIVE resolved corpus and write
+    it as a sidecar table — WITHOUT rewriting any derived table.
+
+    Append-mode merges cannot maintain pagerank: the power iteration is a
+    function of the whole link graph (the reference computes it over the
+    full crawl in one batch, /root/reference/index/src/PageRank.cpp), so
+    delta docs serve 0.0 after an append and re-crawled docs lose their
+    old score (ADVICE r04). A full recompaction fixes that at the cost of
+    rebuilding every table; this refresh pays only the pagerank compute
+    itself (O(graph) by nature) plus one slim (shard, local_id, pagerank)
+    sidecar write — doc_map/postings/positions stay byte-untouched, which
+    at 100 TB is the difference between re-shuffling the index and
+    writing one float column.
+
+    Readers prefer the sidecar over ``doc_map.pagerank`` wherever it
+    exists: engine shard images (driver- AND worker-resident,
+    engine._apply_pagerank_sidecar) and ``read_doc_map_live``. Full
+    rebuilds / ``compact_index`` fold real values back into doc_map and
+    delete the sidecar. The sidecar covers the docids live AT REFRESH
+    TIME; docs appended later serve 0.0 until the next refresh — the same
+    staleness contract doc_map itself has.
+    """
+    from .pagerank import spark_pagerank
+
+    t0 = time.time()
+    stage = read_stage(spark, index_dir)
+    # graph construction identical to build_index's pagerank phase, so a
+    # refreshed index scores BIT-identically to a fresh pagerank build
+    # over the resolved corpus (gated in tests/test_append_merge.py)
+    link_edges = stage.select(
+        F.col("url").alias("src"), F.explode("links").alias("dst"))
+    graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
+        link_edges.select(F.col("dst").alias("node")))
+    pr = spark_pagerank(link_edges, graph_nodes)
+    side = (
+        read_doc_ids_live(spark, index_dir)
+        .join(pr.select(F.col("node").alias("url"),
+                        F.col("pagerank").alias("_pr")), "url", "left")
+        .select(
+            "shard", "local_id",
+            # float32, like doc_map.pagerank / the reference's binary
+            F.coalesce(F.col("_pr"), F.lit(0.0)).cast("float")
+            .alias("pagerank"),
+        )
+    )
+    path = os.path.join(index_dir, "pagerank")
+    _write_once(side, path, partition_by=["shard"], force=True)
+    _refresh_index_caches(spark, index_dir)
+    return {"mode": "pagerank_refresh", "wall_s": time.time() - t0}
 
 
 def merge_index_delta(
@@ -1011,19 +1083,23 @@ def merge_index_delta(
       posting/position bytes, not O(corpus) — the ``postings``/
       ``positions`` phase metrics record ``appended_bytes`` next to the
       pre-merge ``table_bytes_before`` so the bound is checkable
-      (tests/test_append_merge.py). LIMITATION: pagerank is a global
-      graph property and is NOT maintained by appends — delta docs carry
-      pagerank 0.0 (and re-crawled docs lose their old score) until a
-      pagerank recompaction; merging into an index whose last full build
-      computed pagerank emits a warning.
+      (tests/test_append_merge.py). Pagerank is a global graph property
+      and is NOT maintained by the append itself — pass ``pagerank=True``
+      to follow the append with ``refresh_pagerank`` (global recompute
+      into a slim sidecar, no table rewrite; bit-identical to a fresh
+      pagerank build). Without it, delta docs carry pagerank 0.0 (and
+      re-crawled docs lose their old score) until a refresh or pagerank
+      recompaction, and merging into a pagerank-bearing index warns.
     * ``"recompact"`` — the exact-layout path: derived tables are rebuilt
       from the resolved stage. Under the dense-url-rank docid policy
       (oracle.py) a new url shifts every rank behind it, so this is the
       mode that keeps the merged index byte-identical to a from-scratch
       build over the union corpus (tests/test_incremental.py gates two
       increments at 1/2/3 shards).
-    * ``"auto"`` (default) — ``"append"`` unless a pagerank refresh was
-      requested (the graph is global, so it recompacts).
+    * ``"auto"`` (default) — ``"append"``. With ``pagerank=True`` the
+      append is followed by ``refresh_pagerank`` (global recompute into
+      the slim sidecar — no table rewrite); only an explicit
+      ``mode="recompact"`` folds pagerank into doc_map itself.
       ``compact_index`` folds an appended index back to the canonical
       dense layout (byte-identical to a fresh build), clearing tombstones
       and sidecar generations. AUTO-COMPACTION GUARD: when an append
@@ -1065,9 +1141,9 @@ def merge_index_delta(
             new_pages = dedupe_pages(new_pages)
         delta_rows = extract_docs(new_pages)
     if mode == "auto":
-        # append handles both new urls and re-crawls (tombstones); only a
-        # pagerank refresh forces the full recompaction
-        mode = "recompact" if pagerank else "append"
+        # append handles new urls, re-crawls (tombstones) AND pagerank
+        # refreshes (sidecar) — nothing forces the full recompaction
+        mode = "append"
     # constructed BEFORE the new generation lands, so this lazy view
     # resolves to the PRE-merge corpus (generation list is captured here)
     old_stage = read_stage(spark, index_dir) if mode == "append" else None
@@ -1085,7 +1161,9 @@ def merge_index_delta(
             old_stage=old_stage,
             sort_partitions=sort_partitions,
             metrics=metrics, phase=phase, t_start=t_start,
-            index_has_pagerank=idx_pagerank,
+            # the staleness warning is moot when this merge refreshes
+            # the sidecar itself right after
+            index_has_pagerank=idx_pagerank and not pagerank,
         )
         # Auto-compaction guard (VERDICT r04 #2): tombstones and segments
         # grow without bound under repeated re-crawl merges, and every
@@ -1110,6 +1188,11 @@ def merge_index_delta(
             result["compacted"] = True
             result["meta"] = comp["meta"]
             result["compact_wall_s"] = comp["wall_s"]
+        if pagerank and not result.get("compacted"):
+            # global recompute over the live resolved corpus into the
+            # slim sidecar — the O(delta)-write pagerank path (a
+            # compaction above already folded real values into doc_map)
+            result["pagerank_refresh"] = refresh_pagerank(spark, index_dir)
         return result
 
     stage = read_stage(spark, index_dir)
@@ -1230,10 +1313,11 @@ def _append_delta_derived(
         import warnings
 
         warnings.warn(
-            "append-mode merge on an index built with pagerank: delta "
-            "docs carry pagerank=0.0 until a pagerank recompaction "
-            "(merge_index_delta(..., pagerank=True, mode='recompact') or "
-            "compact_index(..., pagerank=True))",
+            "append-mode merge on an index carrying pagerank: delta "
+            "docs serve pagerank=0.0 until a refresh — pass "
+            "pagerank=True to merge_index_delta (appends then refreshes "
+            "the sidecar), or run indexer.refresh_pagerank / "
+            "compact_index(..., pagerank=True)",
             stacklevel=3,
         )
     shard_size = int(meta["shard_size"])
@@ -1655,14 +1739,22 @@ def _append_delta_derived(
 def compact_index(spark: SparkSession, index_dir: str,
                   num_shards: int | None = None,
                   sort_partitions: int | None = None,
-                  pagerank: bool = False) -> dict:
+                  pagerank: bool | None = None) -> dict:
     """Fold an append-mode index back to the canonical dense layout: stage
     generations compact to one stage_raw and every derived table is rebuilt
     from it — byte-identical to a from-scratch build over the same corpus
     (tests/test_incremental.py). This is the periodic compaction that
-    bounds segment growth between appends."""
+    bounds segment growth between appends.
+
+    ``pagerank=None`` (default) preserves what the index already has: a
+    pagerank-bearing index (doc_map values or a refresh_pagerank sidecar)
+    recomputes pagerank into the fresh doc_map, a plain index stays plain
+    — compacting must never silently zero the corpus's scores. Pass an
+    explicit bool to override."""
     with open(os.path.join(index_dir, "index_meta.json")) as f:
         meta = json.load(f)
+    if pagerank is None:
+        pagerank = _index_has_pagerank(spark, index_dir, meta)
     if num_shards is None:
         num_shards = int(meta.get("num_shards_base", meta["num_shards"]))
     if sort_partitions is None:

@@ -431,7 +431,8 @@ def test_append_on_pagerank_index_warns(spark, tmp_path_factory):
 
 def test_auto_mode_selection(spark, tmp_path_factory):
     """auto: append for any content delta (new urls AND re-crawls, the
-    latter via tombstones); only a pagerank refresh recompacts."""
+    latter via tombstones) — including pagerank refreshes, which append
+    then recompute the sidecar instead of recompacting (round 5)."""
     pages = generate_pages(40, seed=5)
     inc_dir = str(tmp_path_factory.mktemp("auto_inc") / "i")
     build_index(pages_to_df(spark, pages[:30]), inc_dir, num_shards=2)
@@ -456,7 +457,16 @@ def test_auto_mode_selection(spark, tmp_path_factory):
 
     res = merge_index_delta(inc_dir, pages_to_df(spark, pages[:2]),
                             pagerank=True)
+    assert res["mode"] == "append"
+    assert res["pagerank_refresh"]["mode"] == "pagerank_refresh"
+    assert os.path.exists(os.path.join(inc_dir, "pagerank", "_SUCCESS"))
+    # an explicit recompact still folds pagerank into doc_map directly
+    res = merge_index_delta(inc_dir, pages_to_df(spark, pages[2:3]),
+                            mode="recompact", pagerank=True)
     assert res["mode"] == "recompact"
+    assert not os.path.isdir(os.path.join(inc_dir, "pagerank"))
+    dm = spark.read.parquet(f"{inc_dir}/doc_map")
+    assert dm.filter("pagerank != 0.0").count() > 0
 
 
 def test_many_appends_lsm_stability(spark, tmp_path_factory):
@@ -699,3 +709,125 @@ def test_append_recrawl_tombstone_semantics(spark, tmp_path_factory):
     build_index(pages_to_df(spark, list(resolved.values())), full2,
                 num_shards=2)
     _assert_same_index(spark, full2, inc_dir)
+
+
+def test_refresh_pagerank_sidecar(spark, tmp_path_factory):
+    """indexer.refresh_pagerank (ADVICE r04 follow-up): after an append
+    with re-crawls, the sidecar restores BIT-identical global pagerank —
+    equal to a fresh pagerank build over the resolved corpus — without
+    rewriting doc_map (raw delta rows keep 0.0 on disk). Engine images
+    consume the sidecar, and compaction (pagerank autodetect) folds it
+    back into doc_map byte-identically."""
+    import pytest
+
+    from mithril_spark.indexer import refresh_pagerank
+    from mithril_spark.text.docproc import process_page
+
+    pages = generate_pages(40, seed=11)
+    base = pages[:32]
+    inc_dir = str(tmp_path_factory.mktemp("rpr_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2,
+                pagerank=True)
+
+    current = {p["url"]: p for p in base}
+    delta = [p for p in pages[32:34]  # new urls (admitted only — the
+             # raw-0.0 assertion below needs them present in doc_map)
+             if process_page(p["url"].encode(), p["html"]) is not None]
+    for i in (3, 11):  # re-crawls (content swap, admission-checked)
+        cand = dict(pages[i], html=pages[(i + 5) % 32]["html"])
+        if process_page(cand["url"].encode(), cand["html"]) is not None:
+            delta.append(cand)
+    assert len(delta) >= 2
+    # merging WITHOUT pagerank=True must still warn about staleness
+    with pytest.warns(UserWarning, match="pagerank"):
+        res = merge_index_delta(inc_dir, pages_to_df(spark, delta))
+    assert res["mode"] == "append" and "compacted" not in res
+    for p in delta:
+        current[p["url"]] = p
+
+    refresh_pagerank(spark, inc_dir)
+    assert os.path.exists(os.path.join(inc_dir, "pagerank", "_SUCCESS"))
+
+    # bit-identical per-url pagerank vs a fresh pagerank build over the
+    # resolved corpus (same graph -> same int64 fixed point -> same f32)
+    full_dir = str(tmp_path_factory.mktemp("rpr_full") / "i")
+    build_index(pages_to_df(spark, list(current.values())), full_dir,
+                num_shards=2, pagerank=True)
+    want = {
+        bytes(r["url"]): float(r["pagerank"])
+        for r in spark.read.parquet(f"{full_dir}/doc_map").collect()
+    }
+    got = {
+        bytes(r["url"]): float(r["pagerank"])
+        for r in read_doc_map_live(spark, inc_dir).collect()
+    }
+    assert got == want
+    assert any(v != 0.0 for v in want.values())
+
+    # doc_map itself was NOT rewritten: the delta's rows still carry the
+    # append-time 0.0 on disk (the sidecar overrides them at read)
+    raw_zero_urls = {
+        bytes(r["url"])
+        for r in spark.read.parquet(f"{inc_dir}/doc_map")
+        .filter("pagerank = 0.0").collect()
+    }
+    for p in delta:
+        assert p["url"].encode() in raw_zero_urls
+
+    # the engine's (driver-resident) images serve the refreshed values
+    eng = SearchEngine(spark, inc_dir, pagerank_weight=80.0)
+    assert eng._driver_images
+    img_pr = {}
+    for img in eng._driver_images.values():
+        for u, v in zip(img["urls"], img["pageranks"]):
+            img_pr[u] = float(v)
+    assert img_pr == want
+
+    # compaction with the autodetect default must PRESERVE pagerank
+    # (recomputed into doc_map), drop the sidecar, and restore
+    # byte-identity with the fresh pagerank build
+    compact_index(spark, inc_dir)
+    assert not os.path.isdir(os.path.join(inc_dir, "pagerank"))
+    assert not os.path.isdir(os.path.join(inc_dir, "tombstones"))
+    _assert_same_index(spark, full_dir, inc_dir)
+
+
+def test_merge_append_pagerank_refresh_rank_identity(spark,
+                                                     tmp_path_factory):
+    """merge_index_delta(pagerank=True) on the append path refreshes the
+    sidecar itself (no staleness warning, no recompaction) and serving
+    under a NON-ZERO pagerank weight is rank-identical to the oracle with
+    pagerank at the append layout — on the driver-resident AND the
+    distributed (worker-image) tiers."""
+    import warnings
+
+    pages = _sorted_pages(60, seed=5)
+    base, delta = pages[:50], pages[50:]
+
+    inc_dir = str(tmp_path_factory.mktemp("rprr_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2,
+                pagerank=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = merge_index_delta(inc_dir, pages_to_df(spark, delta),
+                                pagerank=True)
+    assert not [x for x in w if "pagerank" in str(x.message)]
+    assert res["mode"] == "append"
+    assert res["pagerank_refresh"]["mode"] == "pagerank_refresh"
+    assert os.path.exists(os.path.join(inc_dir, "pagerank", "_SUCCESS"))
+
+    shard_size = json.load(open(os.path.join(inc_dir, "index_meta.json")))[
+        "shard_size"]
+    delta_urls = {p["url"].encode() for p in delta}
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages],
+        sort_key=lambda u: (u in delta_urls, u), shard_size=shard_size,
+        pagerank=True, pagerank_weight=80.0,
+    )
+    e_res = SearchEngine(spark, inc_dir, pagerank_weight=80.0)
+    e_dist = SearchEngine(spark, inc_dir, pagerank_weight=80.0,
+                          driver_serve_bytes=0, cache_doc_map=False)
+    for q in QUERIES:
+        want = oracle.top_k(q)
+        assert e_res.top_k(q) == want, q
+        assert e_dist.top_k(q) == want, q
