@@ -84,14 +84,17 @@ def main() -> None:
             "auto_compact_tombstone_frac": args.auto_compact_frac or None,
             "auto_compact_min_tombstones": args.auto_compact_min,
         }
+        # None = preserve (recompact of a pagerank-bearing index keeps
+        # its scores); the flag opts IN to refresh/recompute
+        pr = args.pagerank or None
         if args.pages:
             res = merge_index_delta(
                 args.index, new_pages=spark.read.parquet(args.pages),
-                mode=args.mode, pagerank=args.pagerank, **guard)
+                mode=args.mode, pagerank=pr, **guard)
         else:
             res = merge_index_delta(
                 args.index, extracted=spark.read.parquet(args.extracted),
-                mode=args.mode, pagerank=args.pagerank, **guard)
+                mode=args.mode, pagerank=pr, **guard)
     dt = time.time() - t0
     phases = {p["phase"]: round(p.get("finished", 0.0) - p["started"], 2)
               for p in res["phases"]}
@@ -99,6 +102,9 @@ def main() -> None:
            "total_docs": res["meta"]["total_docs"], "phases": phases}
     if res.get("compacted"):
         out["compacted"] = True
+    if res.get("pagerank_refresh"):
+        out["pagerank_refresh_s"] = round(
+            res["pagerank_refresh"]["wall_s"], 2)
     tomb = next((p.get("replaced_docs") for p in res["phases"]
                  if p["phase"] == "tombstones"), None)
     if tomb is not None:

@@ -138,7 +138,11 @@ def _docmap_token(index_dir: str) -> str:
     pagerank-sidecar file changes, so worker-resident images invalidate
     across rebuilds, append merges AND refresh_pagerank runs (the image
     is the doc_map rows MINUS the tombstone mask PLUS the sidecar
-    override — all three inputs version it)."""
+    override — all three inputs version it). _SUCCESS markers are hashed
+    too: sidecar visibility is gated on _SUCCESS, so an image cached
+    during the commit window (parts written, marker not yet) must get a
+    DIFFERENT token once the marker lands, or it would pin the
+    no-sidecar image forever."""
     import hashlib
 
     parts = []
@@ -146,7 +150,7 @@ def _docmap_token(index_dir: str) -> str:
         root = os.path.join(index_dir, sub)
         for r, _dirs, files in os.walk(root):
             for f in files:
-                if f.endswith(".parquet"):
+                if f.endswith(".parquet") or f == "_SUCCESS":
                     p = os.path.join(r, f)
                     st = os.stat(p)
                     parts.append(f"{sub}/{os.path.relpath(p, root)}:"

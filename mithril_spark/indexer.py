@@ -478,6 +478,23 @@ def build_index(
     )
 
 
+def _stage_pagerank(stage: DataFrame) -> DataFrame:
+    """(node, pagerank) over a stage's link graph — THE graph construction,
+    shared by build_index's pagerank phase and ``refresh_pagerank`` so a
+    refreshed index scores BIT-identically to a fresh pagerank build over
+    the same resolved corpus (same edges/nodes -> same int64 fixed point;
+    gated in tests/test_append_merge.py). Reference: the batch builder
+    computes pagerank over the full crawl's link set the same way
+    (/root/reference/index/src/PageRank.cpp)."""
+    from .pagerank import spark_pagerank
+
+    link_edges = stage.select(
+        F.col("url").alias("src"), F.explode("links").alias("dst"))
+    graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
+        link_edges.select(F.col("dst").alias("node")))
+    return spark_pagerank(link_edges, graph_nodes)
+
+
 def _build_derived(
     spark: SparkSession,
     stage: DataFrame,
@@ -509,6 +526,18 @@ def _build_derived(
     (incremental ≡ full, compaction ≡ fresh) is untouched. Phase metric
     rows carry truthful started/finished stamps and may overlap."""
     from concurrent.futures import ThreadPoolExecutor
+
+    if force:
+        # The refresh_pagerank sidecar is keyed by (shard, local_id) of
+        # the CURRENT layout; a full rebuild re-densifies ids, so a stale
+        # sidecar surviving a mid-rebuild crash would mis-key scores onto
+        # different documents (readers prefer it over doc_map). Deleting
+        # it BEFORE any phase degrades that crash window to doc_map's own
+        # values — stale at worst, never mis-keyed. (Real values are
+        # recomputed into doc_map below when pagerank=True.)
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "pagerank"), ignore_errors=True)
 
     pool = ThreadPoolExecutor(max_workers=4)
     try:
@@ -640,15 +669,7 @@ def _build_derived(
         docs_for_map = docs
         if pagerank and need_doc_map:
             m = phase("pagerank")
-            from .pagerank import spark_pagerank
-
-            link_edges = stage.select(
-                F.col("url").alias("src"), F.explode("links").alias("dst")
-            )
-            graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
-                link_edges.select(F.col("dst").alias("node"))
-            )
-            pr = spark_pagerank(link_edges, graph_nodes)
+            pr = _stage_pagerank(stage)
             docs_for_map = docs.join(
                 pr.select(F.col("node").alias("url"),
                           F.col("pagerank").alias("_pr")),
@@ -818,10 +839,8 @@ def _build_derived(
 
         shutil.rmtree(os.path.join(out_dir, "tombstones"),
                       ignore_errors=True)
-        # the refresh_pagerank sidecar folds into doc_map on any full
-        # rebuild (real values recomputed with pagerank=True, or the
-        # index is genuinely pagerank-less again)
-        shutil.rmtree(os.path.join(out_dir, "pagerank"), ignore_errors=True)
+        # (the refresh_pagerank sidecar was deleted BEFORE the phases ran
+        # — see the top of this function for the mis-key rationale)
         for g in _doc_text_generations(out_dir):
             shutil.rmtree(os.path.join(out_dir, g), ignore_errors=True)
 
@@ -1020,18 +1039,9 @@ def refresh_pagerank(spark: SparkSession, index_dir: str) -> dict:
     TIME; docs appended later serve 0.0 until the next refresh — the same
     staleness contract doc_map itself has.
     """
-    from .pagerank import spark_pagerank
-
     t0 = time.time()
     stage = read_stage(spark, index_dir)
-    # graph construction identical to build_index's pagerank phase, so a
-    # refreshed index scores BIT-identically to a fresh pagerank build
-    # over the resolved corpus (gated in tests/test_append_merge.py)
-    link_edges = stage.select(
-        F.col("url").alias("src"), F.explode("links").alias("dst"))
-    graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
-        link_edges.select(F.col("dst").alias("node")))
-    pr = spark_pagerank(link_edges, graph_nodes)
+    pr = _stage_pagerank(stage)
     side = (
         read_doc_ids_live(spark, index_dir)
         .join(pr.select(F.col("node").alias("url"),
@@ -1053,7 +1063,7 @@ def merge_index_delta(
     index_dir: str,
     new_pages: DataFrame | None = None,
     sort_partitions: int | None = None,
-    pagerank: bool = False,
+    pagerank: bool | None = None,
     extracted: DataFrame | None = None,
     mode: str = "auto",
     auto_compact_tombstone_frac: float | None = TOMBSTONE_COMPACT_FRAC,
@@ -1095,7 +1105,11 @@ def merge_index_delta(
       (oracle.py) a new url shifts every rank behind it, so this is the
       mode that keeps the merged index byte-identical to a from-scratch
       build over the union corpus (tests/test_incremental.py gates two
-      increments at 1/2/3 shards).
+      increments at 1/2/3 shards). ``pagerank=None`` (default) PRESERVES
+      what the index already has, like ``compact_index``: a
+      pagerank-bearing index recomputes its scores into the fresh
+      doc_map rather than silently zeroing the whole corpus; pass an
+      explicit ``False`` to drop pagerank on purpose.
     * ``"auto"`` (default) — ``"append"``. With ``pagerank=True`` the
       append is followed by ``refresh_pagerank`` (global recompute into
       the slim sidecar — no table rewrite); only an explicit
@@ -1196,6 +1210,12 @@ def merge_index_delta(
         return result
 
     stage = read_stage(spark, index_dir)
+    if pagerank is None:
+        # preserve, like compact_index: an unqualified recompact of a
+        # pagerank-bearing index must never silently zero the corpus's
+        # scores (code-review r5 finding — only compact_index and the
+        # auto-compaction guard enforced this before)
+        pagerank = _index_has_pagerank(spark, index_dir, meta)
     result = _build_derived(
         spark, stage, index_dir,
         num_shards=int(meta.get("num_shards_base", meta["num_shards"])),

@@ -469,6 +469,35 @@ def test_auto_mode_selection(spark, tmp_path_factory):
     assert dm.filter("pagerank != 0.0").count() > 0
 
 
+def test_recompact_default_preserves_pagerank(spark, tmp_path_factory):
+    """code-review r5: merge_index_delta(mode="recompact") with the
+    DEFAULT pagerank arg must PRESERVE a pagerank-bearing index's scores
+    (recomputed over the union corpus — byte-identical to a fresh
+    pagerank build), like compact_index; only an explicit pagerank=False
+    drops them. Before the fix the default silently zeroed the whole
+    corpus's scores and deleted any refresh sidecar."""
+    pages = generate_pages(26, seed=13)
+    inc_dir = str(tmp_path_factory.mktemp("rdp_inc") / "i")
+    build_index(pages_to_df(spark, pages[:22]), inc_dir, num_shards=1,
+                pagerank=True)
+    res = merge_index_delta(inc_dir, pages_to_df(spark, pages[22:24]),
+                            mode="recompact")
+    assert res["mode"] == "recompact"
+
+    full_dir = str(tmp_path_factory.mktemp("rdp_full") / "i")
+    build_index(pages_to_df(spark, pages[:24]), full_dir, num_shards=1,
+                pagerank=True)
+    _assert_same_index(spark, full_dir, inc_dir)
+    dm = spark.read.parquet(f"{inc_dir}/doc_map")
+    assert dm.filter("pagerank != 0.0").count() > 0
+
+    # explicit False is the documented opt-out: scores drop on purpose
+    merge_index_delta(inc_dir, pages_to_df(spark, pages[24:25]),
+                      mode="recompact", pagerank=False)
+    dm = spark.read.parquet(f"{inc_dir}/doc_map")
+    assert dm.filter("pagerank != 0.0").count() == 0
+
+
 def test_many_appends_lsm_stability(spark, tmp_path_factory):
     """Four successive mixed deltas (new urls + re-crawls of urls from any
     earlier generation): segments and tombstones accumulate, serving stays

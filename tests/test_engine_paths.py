@@ -156,3 +156,26 @@ def test_cogroup_matches_and_wand_agree_with_driver_path(
         # it degrade to substring only if oversized — not here)
         assert co.bm25_topk_with_snippets(q, k=5) == \
             drv.bm25_topk_with_snippets(q, k=5), q
+
+
+def test_docmap_token_covers_success_markers(tmp_path):
+    """code-review r5: the pagerank sidecar's visibility is gated on its
+    _SUCCESS marker (engine._apply_pagerank_sidecar), so the doc-map
+    epoch token must change when the marker LANDS, not only when parquet
+    parts do — an image cached during the commit window (parts written,
+    marker not yet) would otherwise pin the no-sidecar view under an
+    unchanged token forever."""
+    from mithril_spark.engine import _docmap_token
+
+    d = tmp_path / "idx"
+    (d / "doc_map").mkdir(parents=True)
+    (d / "doc_map" / "part-0.parquet").write_bytes(b"x")
+    t1 = _docmap_token(str(d))
+    side = d / "pagerank" / "shard=0"
+    side.mkdir(parents=True)
+    (side / "part-0.parquet").write_bytes(b"y")
+    t2 = _docmap_token(str(d))
+    assert t2 != t1  # parts alone already version it
+    (d / "pagerank" / "_SUCCESS").write_bytes(b"")
+    t3 = _docmap_token(str(d))
+    assert t3 != t2  # ...and the marker versions it AGAIN
