@@ -131,3 +131,53 @@ def test_merge_replaces_recrawled_url(spark, tmp_path_factory):
 
     want = extract_text(pages[3]["url"].encode(), pages[7]["html"])
     assert len(row) == 1 and bytes(row[0]["text"]) == want
+
+
+def test_resume_after_midbuild_crash(spark, tmp_path_factory):
+    """Checkpoint-resume under a SIMULATED mid-build crash (north rule:
+    'resumable from checkpoint with per-partition lineage'): a build that
+    died after the doc_map/stats phases committed — postings mid-write
+    (stale part file, no _SUCCESS), term_dict never started, final
+    metadata never written — must resume by re-running ONLY the missing
+    phases (overwrite sweeps the partial write) and converge to tables
+    identical to an uninterrupted build."""
+    import json
+    import os
+
+    pages = generate_pages(60, seed=17)
+    df = pages_to_df(spark, pages)
+
+    a_dir = str(tmp_path_factory.mktemp("resume_full") / "i")
+    build_index(df, a_dir, num_shards=2)
+
+    b_dir = str(tmp_path_factory.mktemp("resume_crash") / "i")
+    build_index(df, b_dir, num_shards=2)
+    # simulate the crash window: postings partially written, term_dict
+    # absent, index_meta (the last thing a build writes) missing
+    os.remove(os.path.join(b_dir, "postings", "_SUCCESS"))
+    with open(os.path.join(b_dir, "postings",
+                           "part-99999-deadbeef.parquet"), "wb") as f:
+        f.write(b"partial write garbage")
+    shutil.rmtree(os.path.join(b_dir, "term_dict"))
+    os.remove(os.path.join(b_dir, "index_meta.json"))
+
+    res = build_index(df, b_dir, num_shards=2)
+    ran = {m["phase"]: m.get("ran") for m in res["phases"]}
+    assert ran["postings"] is True
+    assert ran["term_dict"] is True
+    for done in ("extract", "assign_ids", "doc_map", "doc_text"):
+        assert ran[done] is False, done
+
+    _assert_same_index(spark, a_dir, b_dir)
+    with open(os.path.join(a_dir, "index_meta.json")) as fa, \
+            open(os.path.join(b_dir, "index_meta.json")) as fb:
+        ma, mb = json.load(fa), json.load(fb)
+    assert ma == mb
+
+    # the resumed index serves rank-identically to the untouched twin
+    from mithril_spark.engine import SearchEngine
+
+    ea = SearchEngine(spark, a_dir, cache_doc_map=False)
+    eb = SearchEngine(spark, b_dir, cache_doc_map=False)
+    for q in ["search engine", "granite OR marble", "NOT quartz"]:
+        assert ea.top_k(q) == eb.top_k(q), q
