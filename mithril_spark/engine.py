@@ -307,7 +307,9 @@ DRIVER_IMAGE_BYTES = 128 << 20
 
 def _doc_text_dirs(index_dir: str) -> list[str]:
     """doc_text sidecar generations in age order (base, then append-merge
-    deltas) — read them all, latest entry per url wins."""
+    deltas) — read them all, latest entry per url wins. Marker-less delta
+    dirs are aborted writes (merge crashed before the job commit):
+    invisible here, like indexer._doc_text_generations."""
     out = []
     base = os.path.join(index_dir, "doc_text")
     if os.path.exists(os.path.join(base, "_SUCCESS")):
@@ -317,6 +319,8 @@ def _doc_text_dirs(index_dir: str) -> list[str]:
             for d in sorted(
                 e.name for e in os.scandir(index_dir)
                 if e.is_dir() and e.name.startswith("doc_text_delta_")
+                and os.path.exists(
+                    os.path.join(index_dir, e.name, "_SUCCESS"))
             )
         )
     return out

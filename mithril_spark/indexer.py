@@ -841,8 +841,12 @@ def _build_derived(
                       ignore_errors=True)
         # (the refresh_pagerank sidecar was deleted BEFORE the phases ran
         # — see the top of this function for the mis-key rationale)
-        for g in _doc_text_generations(out_dir):
-            shutil.rmtree(os.path.join(out_dir, g), ignore_errors=True)
+        # raw scan, not _doc_text_generations: sweep marker-less
+        # (aborted-write) generation debris too
+        for e in os.scandir(out_dir):
+            if e.is_dir() and e.name.startswith("doc_text_delta_"):
+                shutil.rmtree(os.path.join(out_dir, e.name),
+                              ignore_errors=True)
 
     # --- metadata + metrics ---
     meta = {
@@ -888,11 +892,20 @@ def _build_derived(
 # --- incremental index maintenance (VERDICT r02 "what's missing" #3) ---
 
 def _stage_generations(index_dir: str) -> list[str]:
-    """stage_raw + stage_delta_* paths in generation order."""
+    """stage_raw + COMMITTED stage_delta_* paths in generation order.
+
+    Only generations whose Spark write committed (_SUCCESS) are visible:
+    a merge that crashed mid-stage-write leaves a marker-less dir that
+    every reader must ignore — it may hold a partial row subset. The
+    retry reuses the same name (the generation counter skips uncommitted
+    dirs) and its force-overwrite sweeps the debris. This makes the stage
+    the merge's write-ahead log: committed generations are the durable
+    source of truth the derived tables are a pure function of."""
     gens = [os.path.join(index_dir, "stage_raw")]
     deltas = sorted(
         e.name for e in os.scandir(index_dir)
         if e.is_dir() and e.name.startswith("stage_delta_")
+        and os.path.exists(os.path.join(index_dir, e.name, "_SUCCESS"))
     )
     gens.extend(os.path.join(index_dir, d) for d in deltas)
     return gens
@@ -1129,6 +1142,21 @@ def merge_index_delta(
     pass ``extracted`` (rows already in EXTRACT_SCHEMA — e.g. the streaming
     extraction's sink table) to skip the parse entirely and fold the
     already-extracted docs in as a generation.
+
+    CRASH CONTRACT (plain-parquet layout): the delta's stage generation
+    commits FIRST (atomic at the _SUCCESS marker — an aborted stage write
+    is invisible to every reader and its dir is overwritten on retry), so
+    the staged corpus is the merge's write-ahead log. The derived-table
+    appends that follow are NOT atomic as a group: a crash mid-merge
+    leaves them behind the stage. Recovery is ``compact_index`` — the
+    derived tables are a pure function of the resolved stage
+    (tests/test_append_merge.py::test_crashed_merge_recovers_via_compact),
+    so the redo rebuilds exactly the post-merge index. Do NOT simply
+    re-run the merge after a mid-derived crash: partially adopted
+    segments would double-count. (On an Iceberg catalog each table append
+    is a snapshot commit and this recovery window disappears; the plain
+    layout keeps the same table shapes without the transactional
+    metadata.)
     """
     if (new_pages is None) == (extracted is None):
         raise ValueError("pass exactly one of new_pages / extracted")
@@ -1267,10 +1295,13 @@ def _swap_dir(tmp: str, final: str) -> None:
 
 
 def _doc_text_generations(index_dir: str) -> list[str]:
-    """doc_text_delta_* generation dirs (append merges), age order."""
+    """COMMITTED doc_text_delta_* generation dirs (append merges), age
+    order. Marker-less dirs are aborted writes (crash before the Spark
+    job commit) — invisible to snippet reads, overwritten on retry."""
     return sorted(
         e.name for e in os.scandir(index_dir)
         if e.is_dir() and e.name.startswith("doc_text_delta_")
+        and os.path.exists(os.path.join(index_dir, e.name, "_SUCCESS"))
     )
 
 
@@ -1802,15 +1833,24 @@ def compact_stage(spark: SparkSession, index_dir: str) -> int:
     """Fold all stage generations back into a single stage_raw (the
     periodic compaction step of the generational layout). Returns the
     number of generations folded. Derived tables are unaffected — they are
-    already built from the resolved view."""
+    already built from the resolved view. Marker-less stage_delta dirs
+    (aborted writes, invisible to readers) are swept as debris."""
+    import shutil
+
     gens = _stage_generations(index_dir)
+    committed = set(gens)
+    debris = [
+        os.path.join(index_dir, e.name) for e in os.scandir(index_dir)
+        if e.is_dir() and e.name.startswith("stage_delta_")
+        and os.path.join(index_dir, e.name) not in committed
+    ]
+    for g in debris:
+        shutil.rmtree(g, ignore_errors=True)
     if len(gens) == 1:
         return 1
     resolved = read_stage(spark, index_dir)
     tmp = os.path.join(index_dir, "_stage_compact")
     resolved.write.mode("overwrite").parquet(tmp)
-    import shutil
-
     for g in gens:
         shutil.rmtree(g, ignore_errors=True)
     os.rename(tmp, os.path.join(index_dir, "stage_raw"))

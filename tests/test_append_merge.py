@@ -860,3 +860,122 @@ def test_merge_append_pagerank_refresh_rank_identity(spark,
         want = oracle.top_k(q)
         assert e_res.top_k(q) == want, q
         assert e_dist.top_k(q) == want, q
+
+
+def test_aborted_stage_write_is_invisible_and_retried(spark,
+                                                      tmp_path_factory):
+    """Crash contract, part 1: a merge that died MID-STAGE-WRITE leaves a
+    marker-less stage_delta dir. It must be invisible to read_stage (the
+    derived tables are untouched, so the index still serves the pre-merge
+    corpus), and retrying the same merge must overwrite the debris and
+    converge to exactly the state a never-crashed merge produces."""
+    import shutil
+
+    from mithril_spark.indexer import read_stage
+
+    pages = _sorted_pages(50, seed=23)
+    base, delta = pages[:40], pages[40:]
+
+    inc_dir = str(tmp_path_factory.mktemp("abort_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+    n_base = read_stage(spark, inc_dir).count()
+
+    # simulate the aborted write: partial parquet rows, no _SUCCESS
+    debris = os.path.join(inc_dir, "stage_delta_00001")
+    tmp = os.path.join(inc_dir, "_abort_tmp")
+    from mithril_spark.indexer import extract_docs
+    extract_docs(pages_to_df(spark, delta[:2])).write.mode(
+        "overwrite").parquet(tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    os.rename(tmp, debris)
+
+    # invisible: resolved corpus is still the base, serving unaffected
+    assert read_stage(spark, inc_dir).count() == n_base
+    eng = SearchEngine(spark, inc_dir)
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in base], num_shards=2)
+    for q in QUERIES[:3]:
+        assert eng.top_k(q) == oracle.top_k(q), q
+
+    # retry reuses the debris dir name and sweeps it
+    res = merge_index_delta(inc_dir, pages_to_df(spark, delta))
+    assert res["mode"] == "append"
+    assert os.path.exists(os.path.join(debris, "_SUCCESS"))
+
+    twin = str(tmp_path_factory.mktemp("abort_twin") / "i")
+    build_index(pages_to_df(spark, base), twin, num_shards=2)
+    merge_index_delta(twin, pages_to_df(spark, delta))
+    _assert_same_index(spark, twin, inc_dir)
+
+    shard_size = json.load(
+        open(os.path.join(inc_dir, "index_meta.json")))["shard_size"]
+    delta_urls = {p["url"].encode() for p in delta}
+    oracle2 = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages],
+        sort_key=lambda u: (u in delta_urls, u), shard_size=shard_size)
+    eng2 = SearchEngine(spark, inc_dir)
+    for q in QUERIES:
+        assert eng2.top_k(q) == oracle2.top_k(q), q
+
+
+def test_crashed_merge_recovers_via_compact(spark, tmp_path_factory,
+                                            monkeypatch):
+    """Crash contract, part 2: a merge that died MID-DERIVED-APPEND (the
+    stage generation committed, some segment adoptions landed, others did
+    not) recovers through compact_index: the stage is the WAL and the
+    derived tables are a pure function of its resolved view, so the redo
+    rebuilds exactly the post-merge index — byte-identical to a fresh
+    build over the union corpus."""
+    import pytest
+
+    import mithril_spark.indexer as ix
+
+    pages = _sorted_pages(50, seed=29)
+    base = pages[:40]
+    # mixed delta: new urls AND a re-crawl, so the crash also interrupts
+    # tombstone/doc-map bookkeeping
+    delta = pages[40:48] + [dict(pages[5], html=pages[11]["html"])]
+    current = {p["url"]: p for p in base}
+    for p in delta:
+        current[p["url"]] = p
+
+    inc_dir = str(tmp_path_factory.mktemp("crash_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+
+    real_adopt = ix._adopt_parquet_files
+    calls = {"n": 0}
+
+    def exploding_adopt(tmp_dir, final_dir):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-derived-append")
+        return real_adopt(tmp_dir, final_dir)
+
+    monkeypatch.setattr(ix, "_adopt_parquet_files", exploding_adopt)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_index_delta(inc_dir, pages_to_df(spark, delta))
+    monkeypatch.setattr(ix, "_adopt_parquet_files", real_adopt)
+    assert calls["n"] >= 2  # the crash hit after at least one adoption
+
+    full_dir = str(tmp_path_factory.mktemp("crash_full") / "i")
+    build_index(pages_to_df(spark, list(current.values())), full_dir,
+                num_shards=2)
+
+    # the stage WAL holds the whole post-merge corpus (counts compare
+    # against the fresh build's stage: extraction admission-filters, so
+    # raw page count is not the right oracle)
+    from mithril_spark.indexer import read_stage
+    want_stage = spark.read.parquet(
+        os.path.join(full_dir, "stage_raw")).count()
+    assert read_stage(spark, inc_dir).count() == want_stage
+
+    # redo: rebuild every derived table from the resolved stage
+    compact_index(spark, inc_dir)
+    _assert_same_index(spark, full_dir, inc_dir)
+
+    eng = SearchEngine(spark, inc_dir)
+    oracle = OracleIndex.build(
+        [(u.encode(), p["html"]) for u, p in current.items()],
+        num_shards=2)
+    for q in QUERIES:
+        assert eng.top_k(q) == oracle.top_k(q), q
