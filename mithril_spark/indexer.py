@@ -1157,6 +1157,16 @@ def merge_index_delta(
     is a snapshot commit and this recovery window disappears; the plain
     layout keeps the same table shapes without the transactional
     metadata.)
+
+    SINGLE WRITER: merges assume one writer per index dir (the
+    reference's builder is equally single-process) — two concurrent
+    merges would race the generation counter and the segment adoptions.
+    Readers: a ``SearchEngine`` constructed BEFORE a merge keeps serving
+    its pre-merge view consistently (resident/worker images are pinned by
+    the doc-map epoch token; plan caches refresh via
+    ``_refresh_index_caches`` after the merge commits) — construct a new
+    engine, or rely on the epoch-token invalidation, to serve the merged
+    corpus; don't query DURING an in-flight merge's adoption window.
     """
     if (new_pages is None) == (extracted is None):
         raise ValueError("pass exactly one of new_pages / extracted")

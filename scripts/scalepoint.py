@@ -22,7 +22,12 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-SIZES = [20_000, 100_000]
+# override the pair via SCALEPOINT_SIZES="100000,200000" to extend the
+# corpus-size curve (each run keeps the alternating-pair protocol)
+SIZES = [
+    int(x) for x in os.environ.get(
+        "SCALEPOINT_SIZES", "20000,100000").split(",")
+]
 QUERIES = ["search engine", "title:engine", "spark shuffle partition",
            "granite OR marble", "NOT quartz"]
 
@@ -89,16 +94,19 @@ def main() -> None:
         for a, b in zip(runs[SIZES[0]], runs[SIZES[1]])
     ]
     out = {"runs": runs, "summary": summary,
-           "pair_throughput_ratio_100k_vs_20k": pair_ratio,
+           f"pair_throughput_ratio_{SIZES[1]}_vs_{SIZES[0]}": pair_ratio,
            "cpus": cpus, "reps": reps}
     os.makedirs(os.path.join(ROOT, "benchres"), exist_ok=True)
-    with open(os.path.join(ROOT, "benchres/scalepoint.json"), "w") as f:
+    # default pair keeps its historical filename; curve extensions get
+    # their own file next to it
+    fname = ("scalepoint.json" if SIZES == [20_000, 100_000]
+             else f"scalepoint_{SIZES[0]}_{SIZES[1]}.json")
+    with open(os.path.join(ROOT, "benchres", fname), "w") as f:
         json.dump(out, f, indent=2)
-    a, b = summary[SIZES[0]], summary[SIZES[1]]
-    print(f"| 20k pages | {a['docs_per_sec_best']:,.0f} | "
-          f"{a['search_s_per_q_best']:.3f} |")
-    print(f"| 100k pages | {b['docs_per_sec_best']:,.0f} | "
-          f"{b['search_s_per_q_best']:.3f} |")
+    for n in SIZES:
+        s = summary[n]
+        print(f"| {n:,} pages | {s['docs_per_sec_best']:,.0f} | "
+              f"{s['search_s_per_q_best']:.3f} |")
 
 
 if __name__ == "__main__":
