@@ -55,8 +55,22 @@ from .ranking import tokenify_query
 RESULT_SCHEMA = "shard int, doc_id long, score long, url binary, title_packed binary"
 
 
-def plan_terms(query: str) -> tuple[set[str], set[str], list]:
-    """(posting terms, position terms, ranking tokens) needed by a query."""
+def plan_terms(
+    query: str, stopword_positions: bool = False
+) -> tuple[set[str], set[str], list]:
+    """(posting terms, position terms, ranking tokens) needed by a query.
+
+    Ranking provably never opens position pointers for STOPWORDS members
+    — both ranking paths skip them BEFORE touching body/desc position
+    arrays (query/shard.py, the SetupPositionIndexPointers mirror,
+    QueryManager.cpp:249-270 checks the raw stopword set independent of
+    the moved-from final-token quirk) — so their X rows (the heaviest a
+    query can drag: 'the'/'of' corpus-wide position lists) are fetched
+    only when ``stopword_positions`` is set (the with_positions snippet
+    path, which packs per-hit body positions for EVERY query token).
+    Quote/phrase adjacency terms (raw leaf terms) are always kept."""
+    from .text.normalize import STOPWORDS
+
     try:
         tree = g.parse_query(query)
     except g.ParseException:
@@ -70,6 +84,8 @@ def plan_terms(query: str) -> tuple[set[str], set[str], list]:
         position_terms |= raw_terms  # quote/phrase adjacency checks
     tokens, _, _ = tokenify_query(query)
     for term, _m in tokens:
+        if not stopword_positions and term.encode() in STOPWORDS:
+            continue
         position_terms.add(term)          # body positions for ranking
         position_terms.add("%" + term)    # description presence
     return posting_terms, position_terms, tokens
@@ -135,10 +151,10 @@ def _image_dict(pdf: pd.DataFrame) -> dict:
 
 def _docmap_token(index_dir: str) -> str:
     """Doc-map epoch token: changes whenever any doc_map, tombstones or
-    pagerank-sidecar file changes, so worker-resident images invalidate
-    across rebuilds, append merges AND refresh_pagerank runs (the image
-    is the doc_map rows MINUS the tombstone mask PLUS the sidecar
-    override — all three inputs version it). _SUCCESS markers are hashed
+    pagerank-sidecar file changes — the index's serving epoch. Worker
+    images invalidate across rebuilds, append merges AND refresh_pagerank
+    runs; the same token doubles as _worker_image's disk-epoch check that
+    gates the sidecar override. _SUCCESS markers are hashed
     too: sidecar visibility is gated on _SUCCESS, so an image cached
     during the commit window (parts written, marker not yet) must get a
     DIFFERENT token once the marker lands, or it would pin the
@@ -186,23 +202,6 @@ def _image_nbytes(img: dict) -> int:
     return n
 
 
-def _dead_locals(index_dir: str, shard: int) -> "np.ndarray | None":
-    """Sorted dead local ids for one shard from the tombstones table —
-    the doc-map LSM mask (doc_map is append-only across re-crawl merges,
-    indexer._append_delta_derived). None when the index has none."""
-    tomb = os.path.join(index_dir, "tombstones")
-    if not (os.path.isdir(tomb) and _dir_parquet_bytes(tomb)):
-        return None
-    import pyarrow.parquet as pq
-
-    td = pq.read_table(tomb).to_pydict()
-    out = [int(l) for s, l in zip(td["shard"], td["local_id"])
-           if int(s) == shard]
-    if not out:
-        return None
-    return np.unique(np.asarray(out, dtype=np.int64))
-
-
 def _apply_pagerank_sidecar(pdf: pd.DataFrame, index_dir: str,
                             shard: int) -> pd.DataFrame:
     """Override doc_map.pagerank with the refresh_pagerank sidecar
@@ -226,6 +225,25 @@ def _apply_pagerank_sidecar(pdf: pd.DataFrame, index_dir: str,
 
 
 def _worker_image(index_dir: str, shard: int, token: str) -> dict:
+    """Load (or fetch cached) one shard's doc-map image, keyed by the
+    ENGINE's epoch token.
+
+    Epoch discipline (code-review r5): the image must serve the REQUESTED
+    epoch even when disk has moved past it (a merge committed while the
+    engine kept serving). doc_map is append-only, so the current parquet
+    is always a SUPERSET of the token's rows — extra newer rows are
+    harmless because queries only ever look up their own engine's match
+    docids. Crucially the image applies NO tombstone mask: dead filtering
+    is the engine's job (its init-time tombstone set ships per shard and
+    query/shard.py::_drop_tombstoned removes dead ids from every match
+    list BEFORE any doc-map lookup). Masking against CURRENT disk
+    tombstones here poisoned epoch-skewed images — a worker first
+    touching a shard after a concurrent merge masked docs the querying
+    engine still considered live, surfacing phantom (docid, 0, b"", [])
+    rows. The pagerank sidecar override IS epoch-dependent (values, not
+    rows), so it applies only while disk still matches the requested
+    token; under skew the image falls back to doc_map's own column
+    (stale scores at worst, never mis-keyed)."""
     global _IMAGE_LOADS
     key = (index_dir, shard, token)
     hit = _IMAGE_CACHE.get(key)
@@ -236,10 +254,8 @@ def _worker_image(index_dir: str, shard: int, token: str) -> dict:
 
     path = os.path.join(index_dir, "doc_map", f"shard={shard}")
     pdf = pq.read_table(path).to_pandas()
-    dead = _dead_locals(index_dir, shard)
-    if dead is not None:
-        pdf = pdf[~pdf["local_id"].isin(dead)]
-    pdf = _apply_pagerank_sidecar(pdf, index_dir, shard)
+    if _docmap_token(index_dir) == token:
+        pdf = _apply_pagerank_sidecar(pdf, index_dir, shard)
     img = _image_dict(pdf)
     _IMAGE_LOADS += 1
     _IMAGE_CACHE[key] = (img, _image_nbytes(img))
@@ -380,12 +396,6 @@ class SearchEngine:
         self.index_dir = index_dir
         self.max_payload_rows = max_payload_rows
         self.pagerank_weight = pagerank_weight
-        # one-pass LIMIT: the per-query payload collect uses LIMIT cap+1 as
-        # its size guard; default CollectLimit tries 1 partition then grows
-        # (several sequential sub-jobs, ~3x query latency) — run all
-        # partitions in one pass instead (driver receives at most
-        # cap+1 rows per task, bounded).
-        spark.conf.set("spark.sql.limit.initialNumPartitions", "10000")
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             self.meta = json.load(f)
         if cache_partitions is None:
@@ -442,11 +452,13 @@ class SearchEngine:
             self.shard_images.count()
         # Append-merge tombstones (indexer.py): sorted dead local docids
         # per shard, filtered out of every decoded posting/position stream
-        # at shard build AND masked out of the doc-map images (doc_map is
-        # append-only across re-crawl merges). Absent (empty dict) on any
-        # index without replacement appends. Loaded driver-side and
-        # shipped in the task closure — the auto-compaction guard keeps
-        # the set delta-bounded.
+        # at shard build and out of every match list before ranking
+        # (query/shard.py::_drop_tombstoned) — THE dead-filtering point;
+        # worker images carry no mask of their own so they stay epoch-
+        # consistent under concurrent merges (_worker_image docstring).
+        # Absent (empty dict) on any index without replacement appends.
+        # Loaded driver-side and shipped in the task closure — the
+        # auto-compaction guard keeps the set delta-bounded.
         self._tombstones: dict[int, "np.ndarray"] = {}
         tomb_dir = os.path.join(index_dir, "tombstones")
         if os.path.isdir(tomb_dir) and _dir_parquet_bytes(tomb_dir):
@@ -609,6 +621,33 @@ class SearchEngine:
                 pl(row[0])["D"].append((t, row[1]))
         return payload, n
 
+    def _one_pass_limit(self):
+        """Scoped conf for the LIMIT-capped payload collects: default
+        CollectLimit tries 1 partition then grows (several sequential
+        sub-jobs, ~3x query latency) — run all partitions in one pass
+        (driver receives at most cap+1 rows per task, bounded). Scoped
+        set-and-restore instead of a permanent engine-init mutation
+        (code-review r5): a session-global setting silently turned every
+        OTHER df.limit().collect() in the session — indexer LIMIT-1
+        probes, user code — into an all-partitions job."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            conf = self.spark.conf
+            key = "spark.sql.limit.initialNumPartitions"
+            prev = conf.get(key, None)
+            conf.set(key, "10000")
+            try:
+                yield
+            finally:
+                if prev is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, prev)
+
+        return scope()
+
     def _blocks_df(self, posting_terms, position_terms, df_terms=frozenset()):
         """Pruned posting+position+term_dict scans as ONE union DataFrame
         keyed by shard — one collect job on the driver path, the
@@ -662,8 +701,15 @@ class SearchEngine:
             out = pd.concat(outs, ignore_index=True) if outs else _empty()
             return out.to_dict("records")
 
-        # ~128 postings per block row -> row cap from the postings cap
+        # ~128 postings per block row -> row cap from the postings cap.
+        # Position (X) rows are a DIFFERENT granularity: one row packs a
+        # whole (term, shard, salt) group of up to SALT_RANGE (32k) docs'
+        # position lists, so the posting-calibrated row cap under-guards X
+        # bytes by up to ~256x (code-review r5) — X rows get their own,
+        # much lower cap; past it the payload flows cogroup/executor-side
+        # like any oversized head term.
         cap = max(self.max_payload_rows // 128, 512)
+        x_cap = max(self.max_payload_rows // 8192, 64)
         if self.max_payload_rows > 0 and self._driver_store is not None:
             # resident fast path: payload from the in-driver term store,
             # evaluation over the resident images — ZERO Spark jobs. An
@@ -677,8 +723,21 @@ class SearchEngine:
         union_df = self._blocks_df(posting_terms, position_terms, df_terms)
         rows = None
         if self.max_payload_rows > 0 and self._driver_store is None:
-            limited = union_df.limit(cap + 1).collect()
-            if len(limited) <= cap:
+            from pyspark.sql import functions as F
+
+            # one collect job: the kind filters fold per union branch
+            # (X keeps only the positions scan, non-X the other two), so
+            # the per-kind LIMITs add no extra table scans
+            with self._one_pass_limit():
+                limited = (
+                    union_df.filter(F.col("kind") != "X").limit(cap + 1)
+                    .unionByName(
+                        union_df.filter(F.col("kind") == "X")
+                        .limit(x_cap + 1))
+                    .collect()
+                )
+            n_x = sum(1 for r in limited if r["kind"] == "X")
+            if (len(limited) - n_x) <= cap and n_x <= x_cap:
                 rows = limited
 
         if rows is not None:
@@ -760,7 +819,8 @@ class SearchEngine:
         a superset of one query's terms cannot change its result: absent
         terms read as empty posting lists either way.
         """
-        plans = [plan_terms(q) for q in queries]
+        plans = [plan_terms(q, stopword_positions=with_positions)
+                 for q in queries]
         posting_terms: set[str] = set()
         position_terms: set[str] = set()
         token_terms: set[str] = set()
@@ -916,6 +976,14 @@ class SearchEngine:
                     docs_out.append(d + base)
                     scores_out.append(s)
                 stats_out = [json.dumps(wstats)] * len(shards_out)
+                if not shards_out:
+                    # a shard whose candidates were all pruned/tombstoned
+                    # still ran WAND — its pruning counters must reach the
+                    # driver (they undercounted exactly when pruning was
+                    # most effective, code-review r5); doc_id=-1 marks a
+                    # stats-only sentinel the merge drops
+                    shards_out, docs_out = [shard_id], [-1]
+                    scores_out, stats_out = [0.0], [json.dumps(wstats)]
             return pd.DataFrame(
                 {"shard": shards_out, "doc_id": docs_out,
                  "score": scores_out, "wstats": stats_out}
@@ -926,7 +994,8 @@ class SearchEngine:
             "shard int, doc_id long, score double, wstats string",
         )
         merged = sorted(
-            ((int(r["doc_id"]), float(r["score"])) for r in rows),
+            ((int(r["doc_id"]), float(r["score"])) for r in rows
+             if int(r["doc_id"]) >= 0),
             key=lambda t: (-t[1], t[0]),
         )
         if not return_stats:
@@ -934,8 +1003,8 @@ class SearchEngine:
         agg: dict[str, int] = {}
         for sid in {int(r["shard"]) for r in rows}:
             per = next(
-                json.loads(r["wstats"]) for r in rows
-                if int(r["shard"]) == sid and r["wstats"]
+                (json.loads(r["wstats"]) for r in rows
+                 if int(r["shard"]) == sid and r["wstats"]), {},
             )
             for key, v in per.items():
                 agg[key] = agg.get(key, 0) + int(v)
@@ -956,15 +1025,17 @@ class SearchEngine:
         Snippet assembly is a DRIVER-side serving API by design (the doc
         text fetch already collects the top-k rows), so unlike the match
         path this fetch stays a capped collect even under
-        ``max_payload_rows=0`` — the hard row cap (never below 512, ~64k
-        postings of blocks) is what bounds driver bytes, and the resident
+        ``max_payload_rows=0`` — the hard row cap bounds driver bytes at
+        X-row granularity (one row per (term, shard, salt) group of up to
+        SALT_RANGE docs' position lists — the posting-calibrated 512
+        floor under-guarded by ~256x, code-review r5), and the resident
         store is used whenever it is loaded."""
         if not terms or not hit_ids:
             return {}
         from .codec import decode_position_block
 
         shard_size = self.meta["shard_size"]
-        cap = max(self.max_payload_rows // 128, 512)
+        cap = max(self.max_payload_rows // 8192, 64)
         rows: list[tuple] = []  # (shard, term, salt, first, de, fe, ce, pe)
         if self._driver_store is not None:
             _post, pos, _dfs = self._driver_store
@@ -974,7 +1045,9 @@ class SearchEngine:
             if len(rows) > cap:
                 return {}
         else:
-            collected = self._blocks_df(set(), terms).limit(cap + 1).collect()
+            with self._one_pass_limit():
+                collected = self._blocks_df(set(), terms).limit(
+                    cap + 1).collect()
             if len(collected) > cap:
                 return {}
             rows = [
@@ -1030,8 +1103,15 @@ class SearchEngine:
         if not results:
             return []
         ids = [d for d, _s in results]
+        # the live view, not the raw table (CLAUDE.md: never read doc_map
+        # raw on a tombstoned index): the k hit ids are provably live
+        # (WAND decode filters tombstones; docids are never reused), but
+        # the masked view costs only a broadcast anti-join here and keeps
+        # the invariant structural — the IN filter still pushes to parquet
+        from .indexer import read_doc_map_live
+
         dm = (
-            self.spark.read.parquet(os.path.join(self.index_dir, "doc_map"))
+            read_doc_map_live(self.spark, self.index_dir)
             .filter(F.col("doc_id").isin(ids))
             .select("doc_id", "url", "title")
             .collect()

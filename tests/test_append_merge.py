@@ -979,3 +979,65 @@ def test_crashed_merge_recovers_via_compact(spark, tmp_path_factory,
         num_shards=2)
     for q in QUERIES:
         assert eng.top_k(q) == oracle.top_k(q), q
+
+
+def test_worker_image_epoch_stability(spark, tmp_path_factory):
+    """code-review r5: a worker that first loads a shard image AFTER a
+    merge committed, under an engine's PRE-merge token, must still be
+    able to resolve every docid that engine considers live. Worker images
+    are therefore maskless epoch-stable supersets (doc_map is
+    append-only; dead filtering ships with the ENGINE's tombstone set via
+    query/shard.py::_drop_tombstoned) — the old CURRENT-disk-tombstone
+    masking would drop docs a pre-merge engine still matches, surfacing
+    phantom (docid, 0, b'', []) rows. The pagerank sidecar override IS
+    epoch-dependent, so it applies only while the disk epoch still
+    matches the requested token. (A pre-merge engine can only keep
+    serving at all when its scans come from cached blocks — term_dict is
+    rewritten in place by merges — so this is gated at the image level.)
+    """
+    from mithril_spark.engine import _docmap_token, _worker_image
+    from mithril_spark.indexer import refresh_pagerank
+
+    pages = _sorted_pages(42, seed=37)
+    base, newdocs = pages[:36], pages[36:]
+
+    inc_dir = str(tmp_path_factory.mktemp("epoch_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+    old_token = _docmap_token(inc_dir)
+
+    delta = [dict(base[3], html=base[11]["html"]),
+             dict(base[20], html=base[5]["html"])] + newdocs
+    res = merge_index_delta(inc_dir, pages_to_df(spark, delta))
+    assert res["mode"] == "append"
+    assert res["meta"]["tombstone_count"] >= 1
+    assert _docmap_token(inc_dir) != old_token
+
+    # every tombstoned (shard, local_id) — live in the pre-merge epoch —
+    # must still resolve in an image loaded post-merge under ANY token
+    dead = spark.read.parquet(os.path.join(inc_dir, "tombstones")).collect()
+    assert dead
+    for r in dead:
+        img = _worker_image(inc_dir, int(r["shard"]), old_token)
+        assert int(r["local_id"]) in img["local_ids"], \
+            "pre-merge docid vanished from the epoch-stable image"
+
+    # and a POST-merge engine over the same (unmasked) images never
+    # surfaces those dead docids — _drop_tombstoned is the filter now
+    eng = SearchEngine(spark, inc_dir, driver_serve_bytes=0,
+                       cache_doc_map=False)
+    dead_global = {
+        int(r["shard"]) * eng.meta["shard_size"] + int(r["local_id"])
+        for r in dead
+    }
+    for q in QUERIES + ["NOT thermite", "the"]:
+        for d, _s, url, _t in eng.top_k(q):
+            assert d not in dead_global, q
+            assert url != b"", q
+
+    # sidecar epoch gate: a refresh moves the disk epoch, so an image
+    # requested under the OLD token must NOT bake the new sidecar in
+    refresh_pagerank(spark, inc_dir)
+    img_stale = _worker_image(inc_dir, 0, old_token + "_stale_probe")
+    assert not np.any(img_stale["pageranks"])  # doc_map's own 0.0 values
+    img_live = _worker_image(inc_dir, 0, _docmap_token(inc_dir))
+    assert np.any(img_live["pageranks"])  # sidecar applied at match
