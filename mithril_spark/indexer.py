@@ -870,6 +870,12 @@ def _build_derived(
         # corpus drifts; serving scales block-max tf bounds by
         # avg_now/min_enc so WAND pruning stays sound (engine.py)
         "min_avg_body_enc": {str(s): a for s, a in avg_body.items()},
+        # how many committed stage delta generations these derived tables
+        # have folded in — the crash-consistency ledger: a committed
+        # stage generation the derived tables never adopted (merge died
+        # mid-append) makes the counts disagree, and merge_index_delta
+        # refuses to append further until compact_index redoes the index
+        "stage_generations": len(_stage_generations(out_dir)) - 1,
     }
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
@@ -1067,7 +1073,15 @@ def refresh_pagerank(spark: SparkSession, index_dir: str) -> dict:
         )
     )
     path = os.path.join(index_dir, "pagerank")
-    _write_once(side, path, partition_by=["shard"], force=True)
+    # write-then-swap, never overwrite in place (code-review r5): Spark's
+    # overwrite deletes the destination FIRST, so a crash mid-refresh
+    # would erase the previous sidecar — and with it the only artifact
+    # _index_has_pagerank keys on when pagerank exists solely as a
+    # sidecar, re-enabling the silent zeroing the preserve default
+    # prevents. The old sidecar stays live until the two-syscall swap.
+    tmp = os.path.join(index_dir, "_pagerank_tmp")
+    _write_once(side, tmp, partition_by=["shard"], force=True)
+    _swap_dir(tmp, path)
     _refresh_index_caches(spark, index_dir)
     return {"mode": "pagerank_refresh", "wall_s": time.time() - t0}
 
@@ -1151,12 +1165,14 @@ def merge_index_delta(
     leaves them behind the stage. Recovery is ``compact_index`` — the
     derived tables are a pure function of the resolved stage
     (tests/test_append_merge.py::test_crashed_merge_recovers_via_compact),
-    so the redo rebuilds exactly the post-merge index. Do NOT simply
-    re-run the merge after a mid-derived crash: partially adopted
-    segments would double-count. (On an Iceberg catalog each table append
-    is a snapshot commit and this recovery window disappears; the plain
-    layout keeps the same table shapes without the transactional
-    metadata.)
+    so the redo rebuilds exactly the post-merge index. Re-running the
+    merge instead would double-count partially adopted segments, so the
+    guard is MECHANICAL: ``index_meta.stage_generations`` ledgers how
+    many committed generations the derived tables have adopted, and this
+    function raises on any mismatch until compaction redoes the index.
+    (On an Iceberg catalog each table append is a snapshot commit and
+    this recovery window disappears; the plain layout keeps the same
+    table shapes without the transactional metadata.)
 
     SINGLE WRITER: merges assume one writer per index dir (the
     reference's builder is equally single-process) — two concurrent
@@ -1175,6 +1191,24 @@ def merge_index_delta(
     spark = (new_pages if new_pages is not None else extracted).sparkSession
     with open(os.path.join(index_dir, "index_meta.json")) as f:
         meta = json.load(f)
+    # Crash-consistency guard (code-review r5): a committed stage
+    # generation the derived tables never adopted means a previous merge
+    # died mid-append. Appending on top would permanently drop that
+    # generation's docs from the served index (the new merge's docids/
+    # tombstones/stats derive from tables that never saw it) — the CRASH
+    # CONTRACT's "do not re-run the merge" rule, made mechanical. Absent
+    # ledger (pre-r5 index) skips the check.
+    adopted = meta.get("stage_generations")
+    if adopted is not None:
+        committed = len(_stage_generations(index_dir)) - 1
+        if committed != int(adopted):
+            raise RuntimeError(
+                f"index at {index_dir} is crash-inconsistent: {committed} "
+                f"committed stage generations but the derived tables "
+                f"adopted {adopted} — a previous merge crashed mid-append. "
+                "Run indexer.compact_index (the stage is the WAL; "
+                "compaction is the redo) before merging further deltas."
+            )
     metrics: list[dict] = []
     t_start = time.time()
 
@@ -1778,6 +1812,8 @@ def _append_delta_derived(
                        max(touched_shards, default=0) + 1),
         counters=counters,
         min_avg_body_enc=min_enc,
+        # crash-consistency ledger: this merge's generation is adopted
+        stage_generations=len(_stage_generations(out_dir)) - 1,
     )
     with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -1861,8 +1897,27 @@ def compact_stage(spark: SparkSession, index_dir: str) -> int:
     resolved = read_stage(spark, index_dir)
     tmp = os.path.join(index_dir, "_stage_compact")
     resolved.write.mode("overwrite").parquet(tmp)
-    for g in gens:
+    # Crash-safe ordering (code-review r5): swap the compacted output
+    # into stage_raw FIRST (two syscalls), delete the delta generations
+    # AFTER. The stage is the index's WAL — the old order deleted every
+    # generation before the rename, so a crash in that window destroyed
+    # the only durable copy of the corpus. A crash after the swap but
+    # before the deletes leaves stage_raw = resolved PLUS the deltas:
+    # read_stage still resolves to the identical view (the deltas' rows
+    # are content-equal to stage_raw's for their urls), and the next
+    # compaction folds them away.
+    _swap_dir(tmp, os.path.join(index_dir, "stage_raw"))
+    for g in gens[1:]:
         shutil.rmtree(g, ignore_errors=True)
-    os.rename(tmp, os.path.join(index_dir, "stage_raw"))
+    # keep the crash-consistency ledger in sync: all generations are now
+    # folded into stage_raw, none outstanding
+    meta_path = os.path.join(index_dir, "index_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("stage_generations") is not None:
+            meta["stage_generations"] = 0
+            with open(meta_path, "w") as f:
+                json.dump(meta, f, indent=2)
     _refresh_index_caches(spark, index_dir)
     return len(gens)

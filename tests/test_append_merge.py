@@ -969,6 +969,12 @@ def test_crashed_merge_recovers_via_compact(spark, tmp_path_factory,
         os.path.join(full_dir, "stage_raw")).count()
     assert read_stage(spark, inc_dir).count() == want_stage
 
+    # appending onto the crash-inconsistent index is REFUSED (the stage
+    # ledger disagrees with the derived tables): merging would silently
+    # drop the crashed generation's docs forever
+    with pytest.raises(RuntimeError, match="crash-inconsistent"):
+        merge_index_delta(inc_dir, pages_to_df(spark, pages[48:49]))
+
     # redo: rebuild every derived table from the resolved stage
     compact_index(spark, inc_dir)
     _assert_same_index(spark, full_dir, inc_dir)
@@ -979,6 +985,10 @@ def test_crashed_merge_recovers_via_compact(spark, tmp_path_factory,
         num_shards=2)
     for q in QUERIES:
         assert eng.top_k(q) == oracle.top_k(q), q
+
+    # ...and the compacted index accepts merges again (ledger reset)
+    res = merge_index_delta(inc_dir, pages_to_df(spark, pages[48:49]))
+    assert res["mode"] == "append"
 
 
 def test_worker_image_epoch_stability(spark, tmp_path_factory):
