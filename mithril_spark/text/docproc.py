@@ -21,6 +21,7 @@ from .normalize import (
     FIELD_FLAG,
     TITLE,
     URL,
+    _NORM_CACHES,
     language_allowed,
     normalize,
     robots_nofollow,
@@ -69,14 +70,21 @@ def _process_field(
     tracking = True
     flag = FIELD_FLAG[fld]
     kept = 0
+    # hot loop: hit the normalize memo directly (no call on repeats) and
+    # bind dict methods once — same computation, fewer interpreter steps
+    cache = _NORM_CACHES[fld]
+    tf_get = term_freqs.get
+    rp_get = raw_positions.get
     for word in words:
-        normalized = normalize(word, fld)
+        normalized = cache.get(word)
+        if normalized is None:
+            normalized = normalize(word, fld)
         if normalized:
-            term_freqs[normalized] = term_freqs.get(normalized, 0) + 1
+            term_freqs[normalized] = tf_get(normalized, 0) + 1
             kept += 1
             if tracking:
                 if pos < U16_MAX:
-                    entry = raw_positions.get(normalized)
+                    entry = rp_get(normalized)
                     if entry is None:
                         entry = ([[], [], [], [], []], 0)
                     entry[0][fld].append(pos)

@@ -23,10 +23,21 @@ Faithfully reproduced quirks (these are load-bearing for parity):
 
 from __future__ import annotations
 
+import re
+
 from .entities import decode_html_string
 
 SPACE_BYTES = frozenset(b" \t\n\r\f\v")
 _SPACE = b" \t\n\r\f\v"
+
+# C-speed scanners for the hot per-byte loops. Each pattern is exactly the
+# byte-class the loop it replaces tested, so the scan positions are
+# identical — the byte-identity differential (test_spark_engine /
+# test_cpp_differential) is the gate.
+_WS_OR_LT_RE = re.compile(rb"[< \t\n\r\f\v]")  # text-run boundary
+_NONSPACE_RE = re.compile(rb"[^ \t\n\r\f\v]")  # whitespace-run end
+_NAME_END_RE = re.compile(rb"[ \t\n\r\f\v>]")  # tag-name boundary
+_GT_OR_QUOTE_RE = re.compile(rb"[>\"']")  # tag-end scan stops
 
 # Actions (Tags.h:26)
 ORDINARY, TITLE, COMMENT, DISCARD, DISCARD_SECTION, ANCHOR, BASE, EMBED, META, HTML_TAG = range(10)
@@ -123,29 +134,34 @@ class ParsedDocument:
 
 
 def _name_ending_of_tag(s: bytes, start: int, n: int) -> int:
-    """Scan to whitespace/'>' from ``start``; '!--' found mid-name ends it."""
-    # Fast path: find the whitespace/'>' boundary, then look for '!--' before it.
-    i = start
-    while i < n and s[i] not in SPACE_BYTES and s[i] != 0x3E:  # '>'
-        if s[i] == 0x21 and s[i : i + 3] == b"!--" and n - i >= 3:
-            return i + 3
-        i += 1
-    return i
+    """Scan to whitespace/'>' from ``start``; '!--' found mid-name ends it.
+
+    Equivalence note: an '!--' whose '!' precedes the boundary has both
+    '-' bytes before it too ('-' is not a boundary byte), so searching the
+    needle inside [start, boundary) reproduces the per-byte scan exactly.
+    """
+    m = _NAME_END_RE.search(s, start, n)
+    bnd = m.start() if m else n
+    j = s.find(b"!--", start, bnd)
+    return j + 3 if j != -1 else bnd
 
 
 def _ending_of_tag(s: bytes, i: int, n: int) -> int | None:
     """Position of closing '>' skipping quoted attr values; None if unclosed."""
     while i < n:
+        m = _GT_OR_QUOTE_RE.search(s, i, n)
+        if m is None:
+            return None
+        i = m.start()
         c = s[i]
         if c == 0x3E:  # '>'
             return i
-        if c == 0x22 or c == 0x27:  # '"' or "'"
-            k = s.find(bytes((c,)), i + 1)
-            if k == -1:
-                return None
-            i = k + 1
-            continue
-        i += 1
+        # '"' or "'": skip to the matching close quote (unbounded find,
+        # past n, exactly as the byte loop did)
+        k = s.find(b'"' if c == 0x22 else b"'", i + 1)
+        if k == -1:
+            return None
+        i = k + 1
     return None
 
 
@@ -233,8 +249,8 @@ def parse_document(doc: bytes, parsed: ParsedDocument | None = None) -> ParsedDo
         c = doc[i]
         if c in SPACE_BYTES:
             collect_current_word()
-            while i < n and doc[i] in SPACE_BYTES:
-                i += 1
+            m = _NONSPACE_RE.search(doc, i + 1, n)
+            i = m.start() if m else n
             cw_start = i
             cw_len = 0
             needs_decode = False
@@ -368,20 +384,61 @@ def parse_document(doc: bytes, parsed: ParsedDocument | None = None) -> ParsedDo
             needs_decode = False
             continue
 
-        # Normal text: batch-scan to the next special byte for speed.
+        # Normal text: bulk-process the whole region up to the next '<'
+        # (C-speed find + split). Equivalence: within a '<'-free region the
+        # per-byte loop collects exactly the whitespace-split tokens, with
+        # needs_decode true iff '&' occurs inside that token; a trailing
+        # token not closed by whitespace stays pending in cw (the next tag
+        # either flushes it or — unclosed-tag quirk — extends it).
         if not discard_section:
-            nxt = i
-            while nxt < n:
-                b = doc[nxt]
-                if b == 0x3C or b in SPACE_BYTES:
-                    break
-                if b == 0x26:  # '&'
-                    needs_decode = True
-                nxt += 1
+            if cw_len == 0:
+                p = doc.find(b"<", i)
+                if p == -1:
+                    p = n
+                seg = doc[i:p]
+                toks = seg.split()
+                tail = toks.pop() if seg[-1] not in SPACE_BYTES else None
+                if toks:
+                    if b"&" not in seg and not in_anchor:
+                        (title_words if in_title else words).extend(toks)
+                    else:
+                        for w in toks:
+                            subs = (
+                                get_words(decode_html_string(w))
+                                if b"&" in w
+                                else (w,)
+                            )
+                            for sub in subs:
+                                if in_anchor:
+                                    cur_link_anchor.append(sub)
+                                if in_title:
+                                    title_words.append(sub)
+                                else:
+                                    words.append(sub)
+                if tail is not None:
+                    cw_start = p - len(tail)
+                    cw_len = len(tail)
+                    needs_decode = b"&" in tail
+                else:
+                    cw_start = p
+                    cw_len = 0
+                    needs_decode = False
+                i = p
+                continue
+            # Continuation of a pending word (only reachable via the
+            # unclosed-tag quirk, where '<' joins the current word):
+            # single-run scan with the original per-run semantics.
+            m = _WS_OR_LT_RE.search(doc, i, n)
+            nxt = m.start() if m else n
+            if not needs_decode and doc.find(b"&", i, nxt) != -1:
+                needs_decode = True
             cw_len += nxt - i
             i = nxt
         else:
-            i += 1
+            # Discarded text bytes have no side effects — skip the whole
+            # run; spaces/'<' keep their branches' exact semantics.
+            m = _WS_OR_LT_RE.search(doc, i, n)
+            i = m.start() if m else n
 
     collect_current_word()
 

@@ -168,14 +168,15 @@ def decorate_token(token: bytes, field: int) -> bytes:
 
 # Pure-function memo: web text repeats tokens heavily, so the per-worker
 # cache removes most normalize() work. Bounded to keep executor memory flat.
-_NORM_CACHE: dict[tuple[int, bytes], bytes] = {}
-_NORM_CACHE_MAX = 500_000
+# One dict per field (BODY..ALL) — avoids a tuple-key allocation per call.
+_NORM_CACHES: tuple[dict[bytes, bytes], ...] = tuple({} for _ in range(ALL + 1))
+_NORM_CACHE_MAX = 100_000  # per field
 
 
 def normalize(token: bytes, field: int = BODY) -> bytes:
     """TokenNormalizer::normalize — b'' means rejected."""
-    key = (field, token)
-    cached = _NORM_CACHE.get(key)
+    cache = _NORM_CACHES[field]
+    cached = cache.get(token)
     if cached is not None:
         return cached
     # Fast path: lowercase pure-ASCII-alpha tokens skip every phase except
@@ -190,8 +191,8 @@ def normalize(token: bytes, field: int = BODY) -> bytes:
             result = decorate_token(token, field)
     else:
         result = _normalize_slow(token, field)
-    if len(_NORM_CACHE) < _NORM_CACHE_MAX:
-        _NORM_CACHE[key] = result
+    if len(cache) < _NORM_CACHE_MAX:
+        cache[token] = result
     return result
 
 
