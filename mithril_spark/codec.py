@@ -18,18 +18,28 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def encode_vbyte(values: np.ndarray) -> bytes:
-    """Encode a uint32 array to varbyte bytes."""
+def vbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value — layout-coupled to ``encode_vbyte``.
+
+    Exposed so multi-group encoders can vbyte a whole concatenated stream
+    once and slice per-group payloads at byte offsets (vbyte is per-value
+    independent, so slices equal per-group encodes byte-for-byte)."""
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    nbytes = (
+    return (
         1
         + (v >= 1 << 7).astype(np.int64)
         + (v >= 1 << 14).astype(np.int64)
         + (v >= 1 << 21).astype(np.int64)
         + (v >= 1 << 28).astype(np.int64)
     )
+
+
+def encode_vbyte(values: np.ndarray) -> bytes:
+    """Encode a uint32 array to varbyte bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = vbyte_lengths(v)
     total = int(nbytes.sum())
     ends = np.cumsum(nbytes)
     starts = ends - nbytes

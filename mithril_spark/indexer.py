@@ -296,10 +296,12 @@ def _explode_postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def _make_posting_blocks(avg_body: dict):
-    """mapInPandas worker factory for the posting-block emit; ``avg_body``
-    (per-shard average body length at encode time) bakes the block-max
-    normalized-tf bound into each block."""
+def _make_posting_blocks_scalar(avg_body: dict):
+    """Row-wise reference implementation of the posting-block emit — the
+    scalar twin of ``_make_posting_blocks`` (tests/test_posting_vec.py
+    gates that the vectorized worker emits identical rows and bytes).
+    ``avg_body`` (per-shard average body length at encode time) bakes the
+    block-max normalized-tf bound into each block."""
 
     def _posting_blocks(batches):
         # Streaming per-batch emit (VERDICT r02 #3): the upstream
@@ -359,12 +361,161 @@ def _make_posting_blocks(avg_body: dict):
     return _posting_blocks
 
 
-def _position_blocks(batches):
-    # Arrow-native AND streaming: per-doc position lists stay in each
-    # batch's Arrow buffer (offsets+values, no per-row Python lists),
-    # and — like _posting_blocks — the upstream sortWithinPartitions
-    # makes groups contiguous so only the final group of each batch is
-    # carried over, never the whole partition.
+def _make_posting_blocks(avg_body: dict):
+    """Vectorized mapInPandas worker for the posting-block emit — the numpy
+    twin of ``_make_posting_blocks_scalar`` (identical rows and payload
+    bytes, gated by tests/test_posting_vec.py).
+
+    One numpy pass per Arrow batch instead of a Python loop over Zipf-many
+    tiny (term, shard, salt) groups: group runs found by key-change scan,
+    per-group doc_id order via one stable lexsort, per-block metadata via
+    ``ufunc.reduceat`` at block starts, and ONE vbyte encode of the whole
+    delta/freq stream sliced at per-block byte offsets (vbyte is per-value
+    independent — ``codec.vbyte_lengths`` — so slices are byte-identical
+    to per-block encodes). Streaming carry is unchanged: only the final,
+    possibly batch-spanning group is held between batches, keeping the
+    per-task bound at one batch + one SALT_RANGE-bounded group.
+    """
+    from .codec import encode_vbyte, vbyte_lengths
+
+    def _encode_chunk(tt, sh, sa, d, f, bl):
+        # rows are (term, shard, salt)-contiguous and cover whole groups
+        n = d.size
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        if n > 1:
+            change[1:] = (
+                (tt[1:] != tt[:-1]) | (sh[1:] != sh[:-1]) | (sa[1:] != sa[:-1])
+            )
+        gid = np.cumsum(change) - 1
+        # per-row normalized tf, float-op-identical to the scalar twin
+        # (freq/norm computed pre-sort, then reordered)
+        uniq, inv = np.unique(sh, return_inverse=True)
+        avg_row = np.array(
+            [avg_body.get(int(x), 0.0) for x in uniq], dtype=np.float64
+        )[inv]
+        norm = np.ones(n, dtype=np.float64)
+        pos_avg = avg_row > 0
+        norm[pos_avg] = 0.25 + 0.75 * (
+            bl[pos_avg].astype(np.float64) / avg_row[pos_avg]
+        )
+        tfn = f.astype(np.float64) / norm
+        # stable per-group sort by doc_id in one pass (ties keep row order,
+        # matching argsort(kind="stable") per group)
+        order = np.lexsort((d, gid))
+        gid = gid[order]
+        d = d[order]
+        f = f[order]
+        tfn = tfn[order]
+        tt = tt[order]
+        sh = sh[order]
+        sa = sa[order]
+        g_change = np.empty(n, dtype=bool)
+        g_change[0] = True
+        g_change[1:] = gid[1:] != gid[:-1]
+        g_starts = np.flatnonzero(g_change)
+        g_sizes = np.diff(np.append(g_starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(g_starts, g_sizes)
+        blk = rank >> 7
+        assert BLOCK_SIZE == 128  # blk = rank // BLOCK_SIZE
+        b_change = g_change.copy()
+        b_change[1:] |= blk[1:] != blk[:-1]
+        b_starts = np.flatnonzero(b_change)
+        b_ends = np.append(b_starts[1:], n)
+        f64 = f.astype(np.int64)
+        d32 = d.astype(np.uint32)
+        # delta stream: absolute at block starts, gaps within a block
+        deltas = np.empty(n, dtype=np.uint32)
+        deltas[0] = d32[0]
+        np.subtract(d32[1:], d32[:-1], out=deltas[1:])
+        deltas[b_starts] = d32[b_starts]
+        f32 = f.astype(np.uint32)
+        dbuf = encode_vbyte(deltas)
+        fbuf = encode_vbyte(f32)
+        d_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vbyte_lengths(deltas), out=d_off[1:])
+        f_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vbyte_lengths(f32), out=f_off[1:])
+        dbs, dbe = d_off[b_starts], d_off[b_ends]
+        fbs, fbe = f_off[b_starts], f_off[b_ends]
+        return pd.DataFrame(
+            {
+                "term": pd.Series(tt[b_starts], dtype="object"),
+                "shard": pd.Series(sh[b_starts]).astype("int32"),
+                "salt": pd.Series(sa[b_starts]).astype("int32"),
+                "block_id": blk[b_starts].astype("int32"),
+                "doc_count": (b_ends - b_starts).astype("int32"),
+                "first_doc_id": d[b_starts].astype("int64"),
+                "last_doc_id": d[b_ends - 1].astype("int64"),
+                "max_freq": np.maximum.reduceat(f64, b_starts).astype("int32"),
+                "max_tfn": np.maximum.reduceat(tfn, b_starts),
+                "freq_sum": np.add.reduceat(f64, b_starts).astype("int64"),
+                "doc_ids_enc": [dbuf[s:e] for s, e in zip(dbs, dbe)],
+                "freqs_enc": [fbuf[s:e] for s, e in zip(fbs, fbe)],
+            }
+        )
+
+    def _posting_blocks(batches):
+        empty = pd.DataFrame(
+            {name: pd.Series(dtype=dt) for name, dt in _POSTING_DTYPES.items()}
+        )
+        carry = None  # six arrays of the (single) trailing group
+        emitted = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols = (
+                pdf["term"].to_numpy(dtype=object),
+                pdf["shard"].to_numpy(),
+                pdf["salt"].to_numpy(),
+                pdf["doc_id"].to_numpy(),
+                pdf["freq"].to_numpy(),
+                pdf["body_len"].to_numpy(),
+            )
+            if carry is not None:
+                if (
+                    cols[0][0] == carry[0][0]
+                    and cols[1][0] == carry[1][0]
+                    and cols[2][0] == carry[2][0]
+                ):
+                    # the carried group continues into this batch
+                    cols = tuple(
+                        np.concatenate((c, x)) for c, x in zip(carry, cols)
+                    )
+                else:
+                    yield _encode_chunk(*carry)
+                    emitted = True
+                carry = None
+            tt, sh, sa = cols[0], cols[1], cols[2]
+            n = len(tt)
+            if n > 1:
+                change = (
+                    (tt[1:] != tt[:-1]) | (sh[1:] != sh[:-1]) | (sa[1:] != sa[:-1])
+                )
+                nz = np.flatnonzero(change)
+                lgs = int(nz[-1]) + 1 if nz.size else 0
+            else:
+                lgs = 0
+            if lgs > 0:
+                yield _encode_chunk(*(c[:lgs] for c in cols))
+                emitted = True
+            carry = tuple(c[lgs:] for c in cols)
+        if carry is not None and len(carry[0]):
+            yield _encode_chunk(*carry)
+        elif not emitted:
+            yield empty
+
+    return _posting_blocks
+
+
+def _position_blocks_scalar(batches):
+    # Row-wise reference implementation — the scalar twin of
+    # ``_position_blocks`` (identical rows and payload bytes, gated by
+    # tests/test_posting_vec.py). Arrow-native AND streaming: per-doc
+    # position lists stay in each batch's Arrow buffer (offsets+values,
+    # no per-row Python lists), and — like _posting_blocks — the upstream
+    # sortWithinPartitions makes groups contiguous so only the final
+    # group of each batch is carried over, never the whole partition.
     import pyarrow as pa
 
     def emit(rows):
@@ -432,6 +583,181 @@ def _position_blocks(batches):
         yield emit([encode_group(carry_key, carry_parts)])
     elif not emitted:
         yield emit([])
+
+
+def _position_blocks(batches):
+    """Vectorized mapInArrow worker for the position-block emit — the numpy
+    twin of ``_position_blocks_scalar`` (identical rows and payload bytes,
+    gated by tests/test_posting_vec.py).
+
+    Same shape as the vectorized posting emit: one numpy pass per Arrow
+    batch — group runs by key-change scan, per-group doc_id order via one
+    stable lexsort, the batch's flat position values permuted with a
+    single vectorized gather, per-doc delta encoding done globally with
+    resets at doc starts, and ONE vbyte encode per stream sliced at
+    per-group byte offsets (vbyte is per-value independent). Streaming
+    carry holds only the trailing group's rows (ids, flags, lengths and
+    its slice of the flat values), the same bound as the scalar twin.
+    """
+    import pyarrow as pa
+
+    from .codec import encode_vbyte, vbyte_lengths
+
+    names = ["term", "shard", "salt", "doc_count", "first_doc_id",
+             "last_doc_id", "doc_ids_enc", "flags_enc",
+             "pos_counts_enc", "positions_enc"]
+
+    def _empty():
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], t) for t in (
+                pa.string(), pa.int32(), pa.int32(), pa.int32(), pa.int64(),
+                pa.int64(), pa.binary(), pa.binary(), pa.binary(), pa.binary(),
+            )],
+            names=names,
+        )
+
+    def _encode_chunk(tt, sh, sa, d, fl, lens, flat):
+        n = d.size
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        if n > 1:
+            change[1:] = (
+                (tt[1:] != tt[:-1]) | (sh[1:] != sh[:-1]) | (sa[1:] != sa[:-1])
+            )
+        gid = np.cumsum(change) - 1
+        order = np.lexsort((d, gid))
+        gid = gid[order]
+        d32 = d[order].astype(np.uint32)
+        fl32 = fl[order].astype(np.uint32)
+        counts = lens[order].astype(np.int64)
+        tt = tt[order]
+        sh = sh[order]
+        sa = sa[order]
+        # permute the flat position values into sorted-row order
+        row_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=row_off[1:])
+        src_starts = row_off[:-1][order]
+        out_ends = np.cumsum(counts)
+        out_starts = out_ends - counts
+        total = int(out_ends[-1]) if n else 0
+        if total:
+            gather = (
+                np.repeat(src_starts, counts)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(out_starts, counts)
+            )
+            flat_o = flat[gather]
+            # per-doc delta: first position of each (non-empty) doc absolute
+            prev = np.empty_like(flat_o)
+            prev[0] = 0
+            prev[1:] = flat_o[:-1]
+            prev[out_starts[counts > 0]] = 0
+            pos_deltas = flat_o - prev
+            pbuf = encode_vbyte(pos_deltas)
+            p_off = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(vbyte_lengths(pos_deltas), out=p_off[1:])
+        else:
+            pbuf = b""
+            p_off = np.zeros(1, dtype=np.int64)
+        g_change = np.empty(n, dtype=bool)
+        g_change[0] = True
+        g_change[1:] = gid[1:] != gid[:-1]
+        g_starts = np.flatnonzero(g_change)
+        g_ends = np.append(g_starts[1:], n)
+        # doc-id delta stream: absolute at group starts, gaps within
+        deltas = np.empty(n, dtype=np.uint32)
+        deltas[0] = d32[0]
+        np.subtract(d32[1:], d32[:-1], out=deltas[1:])
+        deltas[g_starts] = d32[g_starts]
+        dbuf = encode_vbyte(deltas)
+        fbuf = encode_vbyte(fl32)
+        c32 = counts.astype(np.uint32)
+        cbuf = encode_vbyte(c32)
+        d_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vbyte_lengths(deltas), out=d_off[1:])
+        f_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vbyte_lengths(fl32), out=f_off[1:])
+        c_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vbyte_lengths(c32), out=c_off[1:])
+        # per-group byte ranges: rows for ids/flags/counts, positions via
+        # the group's first/last flat-value offsets
+        gp_s = p_off[out_starts[g_starts]]
+        gp_e = p_off[out_ends[g_ends - 1]]
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(tt[g_starts], pa.string()),
+                pa.array(sh[g_starts].astype(np.int32), pa.int32()),
+                pa.array(sa[g_starts].astype(np.int32), pa.int32()),
+                pa.array((g_ends - g_starts).astype(np.int32), pa.int32()),
+                pa.array(d32[g_starts].astype(np.int64), pa.int64()),
+                pa.array(d32[g_ends - 1].astype(np.int64), pa.int64()),
+                pa.array([dbuf[s:e] for s, e in zip(d_off[g_starts], d_off[g_ends])], pa.binary()),
+                pa.array([fbuf[s:e] for s, e in zip(f_off[g_starts], f_off[g_ends])], pa.binary()),
+                pa.array([cbuf[s:e] for s, e in zip(c_off[g_starts], c_off[g_ends])], pa.binary()),
+                pa.array([pbuf[s:e] for s, e in zip(gp_s, gp_e)], pa.binary()),
+            ],
+            names=names,
+        )
+
+    carry = None  # (tt, sh, sa, d, fl, lens, flat) of the trailing group
+    emitted = False
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        pos_arr = batch.column("positions")
+        offsets = pos_arr.offsets.to_numpy()
+        values = pos_arr.values.to_numpy().astype(np.uint32, copy=False)
+        tt = batch.column("term").to_pandas().to_numpy(dtype=object)
+        sh = batch.column("shard").to_numpy()
+        sa = batch.column("salt").to_numpy()
+        d = batch.column("doc_id").to_numpy()
+        fl = batch.column("flags").to_numpy()
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        flat = values[offsets[0]:offsets[-1]]
+        # re-base row offsets to this batch's flat slice
+        cols = (tt, sh, sa, d, fl, lens, flat)
+        if carry is not None:
+            if (
+                tt[0] == carry[0][0]
+                and sh[0] == carry[1][0]
+                and sa[0] == carry[2][0]
+            ):
+                cols = tuple(
+                    np.concatenate((c, x)) for c, x in zip(carry, cols)
+                )
+            else:
+                yield _encode_chunk(*carry)
+                emitted = True
+            carry = None
+        tt, sh, sa = cols[0], cols[1], cols[2]
+        n = len(tt)
+        if n > 1:
+            change = (
+                (tt[1:] != tt[:-1]) | (sh[1:] != sh[:-1]) | (sa[1:] != sa[:-1])
+            )
+            nz = np.flatnonzero(change)
+            lgs = int(nz[-1]) + 1 if nz.size else 0
+        else:
+            lgs = 0
+        if lgs > 0:
+            lens_all = cols[5]
+            flat_all = cols[6]
+            head_vals = int(lens_all[:lgs].sum())
+            yield _encode_chunk(
+                *(c[:lgs] for c in cols[:5]),
+                lens_all[:lgs],
+                flat_all[:head_vals],
+            )
+            emitted = True
+            carry = tuple(c[lgs:] for c in cols[:5]) + (
+                lens_all[lgs:], flat_all[head_vals:],
+            )
+        else:
+            carry = cols
+    if carry is not None and len(carry[0]):
+        yield _encode_chunk(*carry)
+    elif not emitted:
+        yield _empty()
 
 
 def build_index(
