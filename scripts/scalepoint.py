@@ -28,6 +28,17 @@ SIZES = [
     int(x) for x in os.environ.get(
         "SCALEPOINT_SIZES", "20000,100000").split(",")
 ]
+# shard count per size. Default: fixed 4 shards (the historical curve,
+# where serving latency GROWS with corpus because per-shard match counts
+# do). SCALEPOINT_SHARDS="4,20" holds pages-per-shard constant instead —
+# the reference's actual deployment posture (15 shards per mount,
+# query/src/QueryManager.cpp) — measuring whether per-query latency stays
+# bounded when shards scale with the corpus.
+SHARDS = [
+    int(x) for x in os.environ.get(
+        "SCALEPOINT_SHARDS", ",".join("4" for _ in SIZES)).split(",")
+]
+assert len(SHARDS) == len(SIZES), "SCALEPOINT_SHARDS must align with SIZES"
 QUERIES = ["search engine", "title:engine", "spark shuffle partition",
            "granite OR marble", "NOT quartz"]
 
@@ -57,13 +68,14 @@ def main() -> None:
         )
         corpora[n].count()
 
+    shards_for = dict(zip(SIZES, SHARDS))
     runs: dict[int, list[dict]] = {n: [] for n in SIZES}
     for rep in range(reps):
         for n in SIZES:
             idx = f"/tmp/mithril_scalepoint_idx_{n}"
             shutil.rmtree(idx, ignore_errors=True)
             t0 = time.time()
-            build_index(corpora[n], idx, num_shards=4, force=True)
+            build_index(corpora[n], idx, num_shards=shards_for[n], force=True)
             build_s = time.time() - t0
             engine = SearchEngine(spark, idx)
             engine.top_k(QUERIES[0])  # warm
@@ -72,7 +84,7 @@ def main() -> None:
                 engine.top_k(q)
             search_s = time.time() - t0
             rec = {
-                "rep": rep, "n_pages": n,
+                "rep": rep, "n_pages": n, "num_shards": shards_for[n],
                 "build_s": round(build_s, 2),
                 "docs_per_sec": round(n / build_s, 1),
                 "search_s_per_q": round(search_s / len(QUERIES), 3),
@@ -95,12 +107,14 @@ def main() -> None:
     ]
     out = {"runs": runs, "summary": summary,
            f"pair_throughput_ratio_{SIZES[1]}_vs_{SIZES[0]}": pair_ratio,
-           "cpus": cpus, "reps": reps}
+           "cpus": cpus, "reps": reps, "shards": shards_for}
     os.makedirs(os.path.join(ROOT, "benchres"), exist_ok=True)
-    # default pair keeps its historical filename; curve extensions get
-    # their own file next to it
-    fname = ("scalepoint.json" if SIZES == [20_000, 100_000]
-             else f"scalepoint_{SIZES[0]}_{SIZES[1]}.json")
+    # default pair keeps its historical filename; curve extensions and
+    # proportional-shard runs get their own file next to it
+    fname = ("scalepoint.json"
+             if SIZES == [20_000, 100_000] and SHARDS == [4, 4]
+             else "scalepoint_{}.json".format(
+                 "_".join(f"{n}x{s}" for n, s in zip(SIZES, SHARDS))))
     with open(os.path.join(ROOT, "benchres", fname), "w") as f:
         json.dump(out, f, indent=2)
     for n in SIZES:
