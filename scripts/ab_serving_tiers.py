@@ -51,9 +51,13 @@ def main() -> None:
         engines[(ns, "resident")] = SearchEngine(spark, idx)
         engines[(ns, "distributed")] = SearchEngine(
             spark, idx, driver_serve_bytes=0)
+        # cogroup: blocks never transit the driver (ONE job per query,
+        # payload shuffled to the shard images executor-side)
+        engines[(ns, "cogroup")] = SearchEngine(
+            spark, idx, driver_serve_bytes=0, max_payload_rows=0)
 
     for (ns, tier), e in engines.items():
-        if tier == "distributed":
+        if tier != "resident":
             # warm to STEADY STATE: with W workers and S shards there are
             # W*S (worker, shard) first-hit image loads (each paying the
             # doc-only ranking precompute); loop until a full sweep stops

@@ -511,3 +511,40 @@ def test_reference_e2e_fuzz_800(ref_stack, tmp_path_factory):
     fully_identical, explained = _differential_compare(
         query_exe, work, oracle, queries, min_identical_frac=0.3)
     assert explained > 500  # the attribution machinery is doing real work
+
+
+@pytest.mark.slow
+def test_reference_e2e_fuzz_1600(ref_stack, tmp_path_factory):
+    """1600 docs / 400 queries, a fourth fuzz seed — the largest committed
+    point on the differential-scale curve (150 -> 400 -> 800 -> 1600).
+    Position regions are ~4x the 400-doc runner's, so the two documented
+    cursor defects (module docstring) dominate even more ranked tails;
+    the load-bearing assertion is attribution exhaustiveness: every
+    divergent result doc machine-explained, zero unexplained."""
+    from mithril_spark.fixtures import QUERY_SET, generate_pages
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.text.docproc import process_page
+
+    builder, query_exe, _termdict = ref_stack
+    work = str(tmp_path_factory.mktemp("e2e_fuzz1600"))
+    pages = generate_pages(1600, seed=42)
+    docs = sorted(
+        (d for d in (process_page(p["url"].encode(), p["html"])
+                     for p in pages) if d is not None),
+        key=lambda d: d.url,
+    )
+    _write_reference_corpus(docs, work + "/crawl")
+    r = subprocess.run(
+        [builder, work + "/crawl", f"--output={work}/index", "--force",
+         "--quiet"],
+        capture_output=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages], num_shards=1
+    )
+    queries = list(QUERY_SET) + _extra_queries(
+        n=400 - len(QUERY_SET), seed=90210)
+    fully_identical, explained = _differential_compare(
+        query_exe, work, oracle, queries, min_identical_frac=0.2)
+    assert explained > 1000  # attribution at the largest committed scale
