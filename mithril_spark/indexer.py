@@ -1028,7 +1028,27 @@ def _build_derived(
             F.sum("url_len").alias("total_url"),
             F.sum("desc_len").alias("total_desc"),
         )
-        m["ran_stats"] = _write_once(stats, os.path.join(out_dir, "index_stats"), force=force)
+        # The stats table is num_shards rows, but the postings phase needs its
+        # avg_body values before it can start — so collect it once (driver-side,
+        # tiny) and push the parquet materialization off the spine into the
+        # pool; resume reads the committed table back instead of recomputing.
+        stats_path = os.path.join(out_dir, "index_stats")
+        fut_stats = None
+        if not force and os.path.exists(os.path.join(stats_path, "_SUCCESS")):
+            stats_rows = spark.read.parquet(stats_path).collect()
+            m["ran_stats"] = False
+        else:
+            stats_schema = stats.schema
+            # sorted: collect order is shuffle-nondeterministic, but the
+            # byte-identity gates (recompact == fresh build) cover this table
+            stats_rows = sorted(stats.collect(), key=lambda r: r["shard"])
+
+            def _run_stats_write():
+                spark.createDataFrame(stats_rows, schema=stats_schema) \
+                    .coalesce(1).write.mode("overwrite").parquet(stats_path)
+
+            fut_stats = pool.submit(_run_stats_write)
+            m["ran_stats"] = True
 
         # --- Phase 4: postings + positions blocks (salted against head-term
         # skew), submitted concurrently — each is its own explode+shuffle over
@@ -1041,7 +1061,7 @@ def _build_derived(
         avg_body = {
             int(r["shard"]): (int(r["total_body"]) / int(r["doc_count"])
                               if int(r["doc_count"]) else 0.0)
-            for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
+            for r in stats_rows
         }
         exploded = _explode_postings(docs)
 
@@ -1148,6 +1168,8 @@ def _build_derived(
         fut_td.result()
         counters = fut_cnt.result()
         fut_doc_map.result()
+        if fut_stats is not None:
+            fut_stats.result()
         fut_text.result()
     finally:
         # on success a no-op join; on an exception it blocks until
@@ -1977,16 +1999,27 @@ def _append_delta_derived(
                 )
             )
         stats_tmp = os.path.join(out_dir, "_index_stats_new")
-        (
-            stats_parts.groupBy("shard")
-            .agg(*[F.sum(c).alias(c) for c in stats_cols if c != "shard"])
-            .write.mode("overwrite").parquet(stats_tmp)
-        )
-        _swap_dir(stats_tmp, os.path.join(out_dir, "index_stats"))
+        stats_agg = stats_parts.groupBy("shard").agg(
+            *[F.sum(c).alias(c) for c in stats_cols if c != "shard"])
+        # collect (num_shards rows) feeds avg_body directly; the parquet
+        # materialization + swap runs off the spine. The collect also fully
+        # executes the dead-row doc_map scan, so the doc_map append below
+        # still cannot race it. Crash mid-write leaves the old stats table
+        # (swap is last) — and the redo for any mid-merge crash is
+        # compact_index per the stage-generation ledger either way.
+        stats_schema = stats_agg.schema
+        stats_rows = sorted(stats_agg.collect(), key=lambda r: r["shard"])
+
+        def _run_stats_write():
+            spark.createDataFrame(stats_rows, schema=stats_schema) \
+                .coalesce(1).write.mode("overwrite").parquet(stats_tmp)
+            _swap_dir(stats_tmp, os.path.join(out_dir, "index_stats"))
+
+        fut_stats = pool.submit(_run_stats_write)
         avg_body = {
             int(r["shard"]): (int(r["total_body"]) / int(r["doc_count"])
                               if int(r["doc_count"]) else 0.0)
-            for r in spark.read.parquet(os.path.join(out_dir, "index_stats")).collect()
+            for r in stats_rows
         }
         m_map = m
 
@@ -2079,6 +2112,7 @@ def _append_delta_derived(
         # join the overlapped writes before the final metadata fold
         fut_pos.result()
         fut_map.result()
+        fut_stats.result()
         fut_text.result()
     finally:
         # on success a no-op join; on an exception it blocks until
