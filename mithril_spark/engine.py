@@ -43,6 +43,7 @@ import collections
 import json
 import os
 import pickle
+import threading
 
 import numpy as np
 import pandas as pd
@@ -184,6 +185,44 @@ _IMAGE_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 _IMAGE_CACHE_BUDGET = int(
     os.environ.get("MITHRIL_IMAGE_CACHE_BYTES", str(512 << 20)))
 _IMAGE_LOADS = 0  # parquet loads in this worker (churn diagnostic)
+
+# _one_pass_limit refcounts (see SearchEngine._one_pass_limit): one entry
+# per live SparkSession holding [depth, snapshot-before-first-entry].
+_LIMIT_SCOPE_LOCK = threading.Lock()
+_LIMIT_SCOPE_STATE: dict[int, list] = {}
+
+
+def _one_pass_limit_scope(spark):
+    """Refcounted scoped set of spark.sql.limit.initialNumPartitions=10000
+    on ``spark``: first entrant snapshots and sets, last exit restores.
+    Safe under concurrent queries multiplexed over one session — see
+    SearchEngine._one_pass_limit for the interleaving this prevents."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        key = "spark.sql.limit.initialNumPartitions"
+        sid = id(spark)
+        with _LIMIT_SCOPE_LOCK:
+            st = _LIMIT_SCOPE_STATE.get(sid)
+            if st is None:
+                prev = spark.conf.get(key, None)
+                spark.conf.set(key, "10000")
+                st = _LIMIT_SCOPE_STATE[sid] = [0, prev]
+            st[0] += 1
+        try:
+            yield
+        finally:
+            with _LIMIT_SCOPE_LOCK:
+                st[0] -= 1
+                if st[0] == 0:
+                    del _LIMIT_SCOPE_STATE[sid]
+                    if st[1] is None:
+                        spark.conf.unset(key)
+                    else:
+                        spark.conf.set(key, st[1])
+
+    return scope()
 
 
 def _image_nbytes(img: dict) -> int:
@@ -629,24 +668,17 @@ class SearchEngine:
         set-and-restore instead of a permanent engine-init mutation
         (code-review r5): a session-global setting silently turned every
         OTHER df.limit().collect() in the session — indexer LIMIT-1
-        probes, user code — into an all-partitions job."""
-        import contextlib
+        probes, user code — into an all-partitions job.
 
-        @contextlib.contextmanager
-        def scope():
-            conf = self.spark.conf
-            key = "spark.sql.limit.initialNumPartitions"
-            prev = conf.get(key, None)
-            conf.set(key, "10000")
-            try:
-                yield
-            finally:
-                if prev is None:
-                    conf.unset(key)
-                else:
-                    conf.set(key, prev)
-
-        return scope()
+        The scope is REFCOUNTED per session (code-review r5 #2): the
+        coordinator multiplexes concurrent queries over one shared
+        SparkSession, and independent set/restore pairs interleave — an
+        earlier scope's restore would strip the setting out from under a
+        still-planning collect, then the later restore would pin the
+        first scope's snapshot on the session forever. First entrant
+        sets, last exit restores; the lock makes snapshot-then-set
+        atomic."""
+        return _one_pass_limit_scope(self.spark)
 
     def _blocks_df(self, posting_terms, position_terms, df_terms=frozenset()):
         """Pruned posting+position+term_dict scans as ONE union DataFrame

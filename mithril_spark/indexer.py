@@ -1548,7 +1548,21 @@ def merge_index_delta(
     # ledger (pre-r5 index) skips the check.
     adopted = meta.get("stage_generations")
     if adopted is not None:
-        committed = len(_stage_generations(index_dir)) - 1
+        gens = _stage_generations(index_dir)
+        committed = len(gens) - 1
+        # An unadopted COMMITTED generation with zero rows is debris, not
+        # a crash casualty: empty generations contribute nothing to the
+        # derived tables (which are a pure function of the resolved row
+        # set), so sweeping them is always safe. They arise from the
+        # no-op-merge crash window (an empty delta commits its stage dir
+        # before the zero-row early return can remove it) — without this
+        # sweep that window would brick every later merge behind a false
+        # crash-inconsistency error (code-review r5 #2).
+        while committed > int(adopted) and _dir_parquet_rows(gens[-1]) == 0:
+            import shutil
+
+            shutil.rmtree(gens.pop(), ignore_errors=True)
+            committed -= 1
         if committed != int(adopted):
             raise RuntimeError(
                 f"index at {index_dir} is crash-inconsistent: {committed} "
@@ -1655,6 +1669,18 @@ def _dir_parquet_bytes(path: str) -> int:
             os.path.getsize(os.path.join(root, f))
             for f in files if f.endswith(".parquet")
         )
+    return total
+
+
+def _dir_parquet_rows(path: str) -> int:
+    """Total row count under ``path`` from parquet footers (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
     return total
 
 
@@ -1880,6 +1906,15 @@ def _append_delta_derived(
             shutil.rmtree(text_gen, ignore_errors=True)
             shutil.rmtree(tomb_tmp, ignore_errors=True)
             shutil.rmtree(ids_stage, ignore_errors=True)
+            # ... including the already-committed (empty) stage delta:
+            # leaving it would put the generation count one ahead of the
+            # index_meta.stage_generations ledger and trip the next
+            # merge's crash guard on a healthy index (code-review r5 #2).
+            # The guard's empty-generation sweep covers a crash landing
+            # between the commit above and this cleanup.
+            gens = _stage_generations(out_dir)
+            if len(gens) > 1 and _dir_parquet_rows(gens[-1]) == 0:
+                shutil.rmtree(gens[-1], ignore_errors=True)
             m["finished"] = time.time() - t_start
             return {"meta": meta, "phases": metrics,
                     "wall_s": time.time() - t_start, "mode": "append"}

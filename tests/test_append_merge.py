@@ -1051,3 +1051,59 @@ def test_worker_image_epoch_stability(spark, tmp_path_factory):
     assert not np.any(img_stale["pageranks"])  # doc_map's own 0.0 values
     img_live = _worker_image(inc_dir, 0, _docmap_token(inc_dir))
     assert np.any(img_live["pageranks"])  # sidecar applied at match
+
+
+def test_empty_delta_merge_is_a_true_noop(spark, tmp_path_factory):
+    """A merge whose delta extracts ZERO admitted rows must leave the
+    index exactly as it found it — including the stage-generation ledger.
+    Regression (code-review r5 #2): the empty stage delta committed before
+    the zero-row early return, leaving the committed-generation count one
+    ahead of index_meta.stage_generations, so the NEXT merge's crash guard
+    raised a false 'crash-inconsistent' RuntimeError on a healthy index
+    and only an O(corpus) compact_index would unbrick it."""
+    from mithril_spark.indexer import _stage_generations, extract_docs
+
+    pages = _sorted_pages(40, seed=31)
+    base, delta = pages[:30], pages[30:]
+
+    inc_dir = str(tmp_path_factory.mktemp("noop_inc") / "i")
+    build_index(pages_to_df(spark, base), inc_dir, num_shards=2)
+    meta_before = json.load(open(os.path.join(inc_dir, "index_meta.json")))
+
+    # 1) the no-op merge: zero extracted rows (all pages inadmissible)
+    empty = extract_docs(pages_to_df(spark, delta)).limit(0)
+    res = merge_index_delta(inc_dir, extracted=empty)
+    assert res["mode"] == "append"
+    # ledger and on-disk generations agree; no stage_delta debris remains
+    assert _stage_generations(inc_dir) == [
+        os.path.join(inc_dir, "stage_raw")]
+    meta_after = json.load(open(os.path.join(inc_dir, "index_meta.json")))
+    assert meta_after == meta_before
+
+    # 2) the next REAL merge succeeds (previously: false crash error)
+    merge_index_delta(inc_dir, pages_to_df(spark, delta))
+
+    # 3) crash-window variant: an empty COMMITTED generation left behind
+    # by a crash between the stage commit and the no-op cleanup is swept
+    # by the guard, not treated as a crash casualty
+    debris = os.path.join(
+        inc_dir, f"stage_delta_{len(_stage_generations(inc_dir)):05d}")
+    extract_docs(pages_to_df(spark, delta)).limit(0).write.mode(
+        "overwrite").parquet(debris)
+    assert os.path.exists(os.path.join(debris, "_SUCCESS"))
+    more = generate_pages(46, seed=31)[40:]
+    merge_index_delta(inc_dir, pages_to_df(spark, more))
+    # the sweep freed the slot; the real delta then reused it, so the dir
+    # now holds the new generation's rows and the ledger agrees with disk
+    from mithril_spark.indexer import _dir_parquet_rows
+    assert _dir_parquet_rows(debris) > 0
+    meta_now = json.load(open(os.path.join(inc_dir, "index_meta.json")))
+    assert meta_now["stage_generations"] == \
+        len(_stage_generations(inc_dir)) - 1
+
+    # end state serves identically to a twin that never saw the no-ops
+    twin = str(tmp_path_factory.mktemp("noop_twin") / "i")
+    build_index(pages_to_df(spark, base), twin, num_shards=2)
+    merge_index_delta(twin, pages_to_df(spark, delta))
+    merge_index_delta(twin, pages_to_df(spark, more))
+    _assert_same_index(spark, twin, inc_dir)

@@ -179,3 +179,38 @@ def test_docmap_token_covers_success_markers(tmp_path):
     (d / "pagerank" / "_SUCCESS").write_bytes(b"")
     t3 = _docmap_token(str(d))
     assert t3 != t2  # ...and the marker versions it AGAIN
+
+
+def test_one_pass_limit_scope_is_refcounted(spark):
+    """The overlapping-queries interleaving (code-review r5 #2): T1 enters
+    the scope, T2 enters, T1 exits — the conf must STILL be set for T2's
+    in-flight collect — then T2 exits and the original (unset) state comes
+    back. The old independent set/restore pairs stripped the setting at
+    T1's exit and pinned T1's snapshot ('10000') on the session forever at
+    T2's."""
+    from mithril_spark.engine import _one_pass_limit_scope
+
+    key = "spark.sql.limit.initialNumPartitions"
+    prev = spark.conf.get(key, None)
+    if prev is not None:
+        spark.conf.unset(key)
+    try:
+        s1, s2 = _one_pass_limit_scope(spark), _one_pass_limit_scope(spark)
+        s1.__enter__()
+        s2.__enter__()
+        s1.__exit__(None, None, None)
+        assert spark.conf.get(key, None) == "10000", \
+            "first exit must not strip the conf from the still-open scope"
+        s2.__exit__(None, None, None)
+        assert spark.conf.get(key, None) is None, \
+            "last exit must restore the pre-scope state, not a snapshot " \
+            "taken inside another scope"
+        # nesting on one thread behaves the same way
+        with _one_pass_limit_scope(spark):
+            with _one_pass_limit_scope(spark):
+                assert spark.conf.get(key, None) == "10000"
+            assert spark.conf.get(key, None) == "10000"
+        assert spark.conf.get(key, None) is None
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
