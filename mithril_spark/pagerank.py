@@ -118,98 +118,103 @@ def spark_pagerank(
     # (compact_index) — stale nodes with fresh edges crashed exactly that
     # way (round-5 regression, tests/test_append_merge.py).
     nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct().cache()
-    n = nodes.count()
-    if n == 0:
-        nodes.unpersist()
-        return spark.createDataFrame(
-            [], "node binary, rank_fp long, pagerank double"
-        )
-    n_edges = links.count()
-    if n_edges <= local_threshold:
-        edge_rows = [
-            (bytes(r["src"]), bytes(r["dst"]))
-            for r in links.select("src", "dst").collect()
-        ]
-        node_list = sorted(bytes(r["node"]) for r in nodes.collect())
-        nodes.unpersist()
-        ranks_by_url = pagerank_fixed_numpy(edge_rows, node_list,
-                                            max_iterations)
-        fp = np.array([ranks_by_url[u] for u in node_list], dtype=np.int64)
-        std = standardize_numpy(fp)
-        return spark.createDataFrame(
-            [(u, int(f), float(s))
-             for u, f, s in zip(node_list, fp.tolist(), std.tolist())],
-            "node binary, rank_fp long, pagerank double",
-        )
-
-    outdeg = links.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges = links.join(outdeg, "src").repartition("src").cache()
-    edges.count()
-
-    tol = SCALE // n
-    tel = (TELEPORT_NUM * SCALE) // (D_DEN * n)
-    init = SCALE // n
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("r"))
-    ranks = ranks.localCheckpoint()
-
-    for _it in range(max_iterations):
-        contrib = edges.join(
-            ranks, edges["src"] == ranks["node"]
-        ).select(
-            F.col("dst"),
-            F.expr("r div outdeg").alias("c"),  # int64 floor div, exact
-        )
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        new_ranks = (
-            nodes.join(sums, nodes["node"] == sums["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.expr(f"({D_NUM} * coalesce(s, CAST(0 AS BIGINT))) div {D_DEN}")
-                    + F.lit(tel)
-                ).cast("long").alias("r"),
+    edges = None
+    try:
+        n = nodes.count()
+        if n == 0:
+            return spark.createDataFrame(
+                [], "node binary, rank_fp long, pagerank double"
             )
-            .localCheckpoint()  # eager: one materialization per iteration
-        )
-        diff = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "node")
-            .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        old_ranks = ranks
-        if diff is not None and int(diff) < tol:
-            ranks = old_ranks
-            break  # reference quirk: keep the PREVIOUS ranks
-        ranks = new_ranks
-
-    # Standardization: log10 is monotonic, so the global lo/hi come from
-    # the EXACT integer min/max of r (one tiny agg); every float op then
-    # runs through numpy (mapInArrow), not JVM expressions — JVM log10/pow
-    # can differ from libm by an ulp, which would break bit-identity with
-    # the numpy twin the oracle uses.
-    stats = ranks.agg(F.min("r").alias("rmin"), F.max("r").alias("rmax")).collect()[0]
-    # ranks is localCheckpoint-materialized — safe to drop the working
-    # caches here (see the staleness note at the top of this function)
-    edges.unpersist()
-    nodes.unpersist()
-    lo = float(np.log10(np.float64(int(stats["rmin"])) / SCALE + LOG_EPSILON))
-    hi = float(np.log10(np.float64(int(stats["rmax"])) / SCALE + LOG_EPSILON))
-
-    def _standardize(batches):
-        import pyarrow as pa
-
-        for batch in batches:
-            r = batch.column("r").to_numpy()
-            with np.errstate(invalid="ignore", divide="ignore"):
-                temp = np.log10(r.astype(np.float64) / SCALE + LOG_EPSILON)
-                p = np.power((temp - lo) / (hi - lo), 0.25)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("node"), pa.array(r, pa.int64()),
-                 pa.array(p, pa.float64())],
-                names=["node", "rank_fp", "pagerank"],
+        n_edges = links.count()
+        if n_edges <= local_threshold:
+            edge_rows = [
+                (bytes(r["src"]), bytes(r["dst"]))
+                for r in links.select("src", "dst").collect()
+            ]
+            node_list = sorted(bytes(r["node"]) for r in nodes.collect())
+            ranks_by_url = pagerank_fixed_numpy(edge_rows, node_list,
+                                                max_iterations)
+            fp = np.array([ranks_by_url[u] for u in node_list], dtype=np.int64)
+            std = standardize_numpy(fp)
+            return spark.createDataFrame(
+                [(u, int(f), float(s))
+                 for u, f, s in zip(node_list, fp.tolist(), std.tolist())],
+                "node binary, rank_fp long, pagerank double",
             )
 
-    return ranks.mapInArrow(
-        _standardize, schema="node binary, rank_fp long, pagerank double"
-    )
+        outdeg = links.groupBy("src").agg(F.count("*").alias("outdeg"))
+        edges = links.join(outdeg, "src").repartition("src").cache()
+        edges.count()
+
+        tol = SCALE // n
+        tel = (TELEPORT_NUM * SCALE) // (D_DEN * n)
+        init = SCALE // n
+        ranks = nodes.select("node", F.lit(init).cast("long").alias("r"))
+        ranks = ranks.localCheckpoint()
+
+        for _it in range(max_iterations):
+            contrib = edges.join(
+                ranks, edges["src"] == ranks["node"]
+            ).select(
+                F.col("dst"),
+                F.expr("r div outdeg").alias("c"),  # int64 floor div, exact
+            )
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            new_ranks = (
+                nodes.join(sums, nodes["node"] == sums["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.expr(f"({D_NUM} * coalesce(s, CAST(0 AS BIGINT))) div {D_DEN}")
+                        + F.lit(tel)
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint()  # eager: one materialization per iteration
+            )
+            diff = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            old_ranks = ranks
+            if diff is not None and int(diff) < tol:
+                ranks = old_ranks
+                break  # reference quirk: keep the PREVIOUS ranks
+            ranks = new_ranks
+
+        # Standardization: log10 is monotonic, so the global lo/hi come from
+        # the EXACT integer min/max of r (one tiny agg); every float op then
+        # runs through numpy (mapInArrow), not JVM expressions — JVM log10/pow
+        # can differ from libm by an ulp, which would break bit-identity with
+        # the numpy twin the oracle uses.
+        stats = ranks.agg(F.min("r").alias("rmin"), F.max("r").alias("rmax")).collect()[0]
+        lo = float(np.log10(np.float64(int(stats["rmin"])) / SCALE + LOG_EPSILON))
+        hi = float(np.log10(np.float64(int(stats["rmax"])) / SCALE + LOG_EPSILON))
+
+        def _standardize(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                r = batch.column("r").to_numpy()
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    temp = np.log10(r.astype(np.float64) / SCALE + LOG_EPSILON)
+                    p = np.power((temp - lo) / (hi - lo), 0.25)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column("node"), pa.array(r, pa.int64()),
+                     pa.array(p, pa.float64())],
+                    names=["node", "rank_fp", "pagerank"],
+                )
+
+        return ranks.mapInArrow(
+            _standardize, schema="node binary, rank_fp long, pagerank double"
+        )
+    finally:
+        # unpersist on EVERY exit path (incl. a mid-iteration failure):
+        # ranks is localCheckpoint-materialized and the returned plan
+        # references only it, so dropping the working caches here is
+        # always safe — and a LEAKED cache is the stale-serve hazard the
+        # note above describes.
+        if edges is not None:
+            edges.unpersist()
+        nodes.unpersist()
