@@ -140,8 +140,14 @@ def encode_position_block(
     flags = np.asarray(flags, dtype=np.uint32)[order]
     positions = [positions[i] for i in order]
     counts = np.fromiter((len(p) for p in positions), dtype=np.uint32, count=len(positions))
-    if positions:
-        allpos = np.concatenate([np.asarray(p, dtype=np.uint32) for p in positions])
+    allpos = (
+        np.concatenate([np.asarray(p, dtype=np.uint32) for p in positions])
+        if positions else np.empty(0, dtype=np.uint32)
+    )
+    # guard on total position count, not list truthiness: a run where
+    # EVERY doc has an empty list is legal (zero-count docs are part of
+    # the format and the decoder handles them) and must encode as b""
+    if allpos.size:
         # per-doc delta encoding: subtract previous position within each doc
         prev = np.empty_like(allpos)
         prev[0] = 0

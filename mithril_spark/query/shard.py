@@ -28,6 +28,7 @@ from ..ranking import (
 )
 from ..text.normalize import ALL, ANCHOR, DESC, STOPWORDS, TITLE, URL, normalize
 from . import grammar as g
+from .vecisr import _isin_sorted
 from .isr import (
     ISR,
     GenericTermISR,
@@ -157,9 +158,16 @@ def evaluate_query(query: str, shard: ShardIndex):
 def top_k_elements_fast(
     results: list[tuple], k: int = TOP_K
 ) -> list[tuple]:
-    """TopKElementsFast: (score desc, doc_id desc) partial sort (QueryManager.cpp:44-65)."""
-    ordered = sorted(results, key=lambda t: (-t[1], -t[0]))
-    return ordered if len(results) <= k else ordered[:k]
+    """TopKElementsFast: (score desc, doc_id desc) partial sort (QueryManager.cpp:44-65).
+
+    heapq.nsmallest is O(n log k) vs the full sort's O(n log n) — the
+    reference uses std::partial_sort for the same reason, and a broad
+    match can rank up to RESULTS_HARD_CAP=100k tuples per shard. Output
+    is identical to sorting: (score, doc_id) keys are unique within a
+    shard, so the comparator is a total order."""
+    import heapq
+
+    return heapq.nsmallest(k, results, key=lambda t: (-t[1], -t[0]))
 
 
 def top_k_from_sorted_lists(
@@ -326,12 +334,12 @@ RANK_CHUNK = 16384  # vectorized scoring batch; breaks replay chunk-exactly
 
 
 def _sorted_member(docs_np: np.ndarray, m_arr: np.ndarray) -> np.ndarray:
-    """Membership of each m in the sorted docid array (one searchsorted)."""
-    if len(docs_np) == 0:
-        return np.zeros(len(m_arr), dtype=bool)
-    idx = np.searchsorted(docs_np, m_arr)
-    idxc = np.minimum(idx, len(docs_np) - 1)
-    return (idx < len(docs_np)) & (docs_np[idxc] == m_arr)
+    """Membership of each m in the sorted docid array (one searchsorted).
+
+    Shared kernel with the vectorized match walk — a fix to the
+    searchsorted-membership idiom must land once, not in per-module
+    copies (code-review r5)."""
+    return _isin_sorted(m_arr, docs_np)
 
 
 def _lookup_tf_first(docs_np, lens, firsts, m_arr):

@@ -22,9 +22,13 @@ and for the dynamic linear model it would, so the two APIs stay separate.
 from __future__ import annotations
 
 import heapq
+import math
 from bisect import bisect_left
 
-from ..ranking import bm25_score
+import numpy as np
+
+from ..codec import decode_posting_block
+from ..ranking import BM25_B, BM25_K1, bm25_score
 
 _MIN_NORM_BODY_LEN = 0  # norm factor floor (1-b) -> upper bound on tf'
 
@@ -80,10 +84,6 @@ class _Cursor:
                 self.doc_count, self.avg_body, _MIN_NORM_BODY_LEN,
                 self.df, block["max_freq"],
             )
-        import math
-
-        from ..ranking import BM25_B, BM25_K1
-
         idf = math.log(
             (self.doc_count - self.df + 0.5) / (self.df + 0.5)
         )
@@ -93,15 +93,11 @@ class _Cursor:
         return min(score, 6.0) / 6.0
 
     def _load_block(self, idx: int) -> None:
-        from ..codec import decode_posting_block
-
         while idx < len(self.blocks):
             blk = self.blocks[idx]
             d, f = decode_posting_block(blk["doc_ids_enc"], blk["freqs_enc"])
             self.blocks_decoded += 1
             if self.dead is not None and len(d):
-                import numpy as np
-
                 keep = ~np.isin(d, self.dead, assume_unique=True)
                 if not keep.all():
                     d, f = d[keep], f[keep]
@@ -293,8 +289,6 @@ def bm25_exhaustive_topk(
     """Reference implementation: decode + score everything (for testing)."""
     if k <= 0:
         return []
-    from ..codec import decode_posting_block
-
     dead = set() if tombstones is None else set(int(t) for t in tombstones)
     scores: dict[int, float] = {}
     # same canonical term order as bm25_wand_topk's aligned-scoring loop

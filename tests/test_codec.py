@@ -85,6 +85,24 @@ def test_position_block_roundtrip():
         assert np.array_equal(a, b)
 
 
+def test_position_block_all_empty_lists():
+    """A run where EVERY doc has zero positions is legal (zero-count docs
+    are part of the format) and must round-trip — the encoder used to
+    raise IndexError on it because it guarded the delta pass on list
+    truthiness instead of total position count (code-review r5)."""
+    doc_ids = np.array([4, 9], np.uint32)
+    flags = np.array([2, 5], np.uint32)
+    poss = [np.array([], np.uint32), np.array([], np.uint32)]
+    blk = encode_position_block(doc_ids, flags, poss)
+    assert blk["positions_enc"] == b""
+    d, f, p = decode_position_block(
+        blk["doc_ids_enc"], blk["flags_enc"], blk["pos_counts_enc"], blk["positions_enc"]
+    )
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(f, flags)
+    assert [len(x) for x in p] == [0, 0]
+
+
 def test_pack_words():
     words = [b"", b"abc", b"\x00\xff" * 5, "café".encode()]
     assert unpack_words(pack_words(words)) == words
