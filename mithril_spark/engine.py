@@ -574,10 +574,25 @@ class SearchEngine:
         self._tfn_scale: dict[int, float] = {}
         for s, st in self.stats.items():
             e = enc.get(str(s))
-            if e and st["doc_count"]:
-                avg_now = st["total_body"] / st["doc_count"]
+            if e is None or not st["doc_count"]:
+                continue  # pre-append index / empty shard: bounds exact
+            avg_now = st["total_body"] / st["doc_count"]
+            if float(e) > 0.0:
                 if avg_now > float(e):
                     self._tfn_scale[s] = avg_now / float(e)
+            elif avg_now > 0.0:
+                # Encoded at avg body length 0 (title/url-only shard):
+                # those blocks used norm=1, i.e. max_tfn == max freq. Once
+                # appends raise the live average above 0, a doc's true
+                # norm is 0.25 + 0.75*bl/avg_now >= 0.25, so true tfn can
+                # exceed the stored bound by up to 1/(1-b) = 4x — the
+                # avg_now/min_enc ratio degenerates (division by zero),
+                # and treating e=0.0 as "absent" (the old truthiness test)
+                # silently under-bounded, letting WAND prune a block
+                # holding a top-k doc (code-review r5).
+                from .ranking import BM25_B
+
+                self._tfn_scale[s] = 1.0 / (1.0 - BM25_B)
 
     # --- helpers ---
 

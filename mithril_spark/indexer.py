@@ -217,6 +217,11 @@ def _refresh_index_caches(spark: SparkSession, index_dir: str) -> None:
         pass
 
 
+# broadcast-join byte budget (on-disk bytes x4 decompression headroom must
+# fit): shared by every size-guarded broadcast decision in this module
+BROADCAST_BYTES_CAP = 512 * 1024 * 1024
+
+
 def _pid_counts_from_footers(path: str) -> dict[int, int] | None:
     """Per-pid row counts of the ``_ids_stage`` write, read driver-side
     from parquet footers instead of a counting Spark job.
@@ -801,6 +806,9 @@ def build_index(
         num_buckets=num_buckets, sort_partitions=sort_partitions,
         force=force, pagerank=pagerank,
         metrics=metrics, phase=phase, t_start=t_start,
+        # this build derives from stage_raw ALONE: any older append-merge
+        # generations are stale corpus now, not adopted state
+        sweep_stage_deltas=True,
     )
 
 
@@ -834,6 +842,7 @@ def _build_derived(
     metrics: list,
     phase,
     t_start: float,
+    sweep_stage_deltas: bool = False,
 ) -> dict:
     """Phases 2+ of the build: everything derived from the parsed ``stage``
     rows (docids, doc_map, stats, postings, positions, doc_text, term_dict,
@@ -957,10 +966,17 @@ def _build_derived(
             ids = staged.groupBy("pid").applyInArrow(
                 _assign, schema="url binary, doc_id long, shard int, local_id long"
             )
-            _write_once(ids, ids_path, force=True)
+            # meta BEFORE the ids _SUCCESS commit (code-review r5): the
+            # resume gate is the ids marker, so a crash between the two
+            # writes in the old order left a committed ids table with a
+            # missing (dead resume) or STALE (silently wrong
+            # total_docs/shard_size from a previous build) meta file. A
+            # crash after meta but before ids is safe: the re-run re-enters
+            # this branch and overwrites both.
             meta_tmp = {"total_docs": total_docs, "shard_size": shard_size}
             with open(os.path.join(out_dir, "_assign_meta.json"), "w") as f:
                 json.dump(meta_tmp, f)
+            _write_once(ids, ids_path, force=True)
             m["ran"] = True
         else:
             m["ran"] = False
@@ -1195,6 +1211,19 @@ def _build_derived(
             if e.is_dir() and e.name.startswith("doc_text_delta_"):
                 shutil.rmtree(os.path.join(out_dir, e.name),
                               ignore_errors=True)
+        # stage_delta_* sweep is CALLER-dependent (code-review r5):
+        # build_index(force=True) rebuilt from a freshly written
+        # stage_raw alone, so surviving deltas would both be counted
+        # adopted by the ledger below AND resolve their stale rows back
+        # over the new corpus in every read_stage consumer — sweep them.
+        # merge recompact built from the RESOLVED view (deltas folded
+        # in — adopted is correct and the dirs stay), and compact_index
+        # already folded them via compact_stage.
+        if sweep_stage_deltas:
+            for e in os.scandir(out_dir):
+                if e.is_dir() and e.name.startswith("stage_delta_"):
+                    shutil.rmtree(os.path.join(out_dir, e.name),
+                                  ignore_errors=True)
 
     # --- metadata + metrics ---
     meta = {
@@ -1557,7 +1586,13 @@ def merge_index_delta(
         # no-op-merge crash window (an empty delta commits its stage dir
         # before the zero-row early return can remove it) — without this
         # sweep that window would brick every later merge behind a false
-        # crash-inconsistency error (code-review r5 #2).
+        # crash-inconsistency error (code-review r5 #2). TAIL-ONLY by
+        # design: removing a MIDDLE generation would shrink
+        # len(_stage_generations) and make the next merge's
+        # stage_delta_{n_existing} name collide with a later committed
+        # generation, force-overwriting live corpus. An empty generation
+        # buried under a non-empty unadopted one stays put; compact_index
+        # (the prescribed redo for that state) folds it harmlessly.
         while committed > int(adopted) and _dir_parquet_rows(gens[-1]) == 0:
             import shutil
 
@@ -1818,6 +1853,18 @@ def _append_delta_derived(
         # generations latest-wins, so a re-crawled url's new text shadows the
         # base sidecar row; each file carries its own url min/max for IN-list
         # pruning; compact_index folds the generations away) ---
+        # Broadcast guard for this merge's delta-bounded joins: same
+        # byte-estimate rule as _build_derived's ids join (x4 decompression
+        # headroom vs 512 MB), decided from bytes already on disk. A huge
+        # backfill delta then degrades to AQE sort-merge instead of
+        # OOMing the executors on a forced broadcast (code-review r5).
+        def _bcast_small(df, src_path):
+            if _dir_parquet_bytes(src_path) * 4 <= BROADCAST_BYTES_CAP:
+                return F.broadcast(df)
+            return df
+
+        delta_gen_path = _stage_generations(out_dir)[-1]
+
         m_text = phase("doc_text")
         n_gen = len(_doc_text_generations(out_dir))
         text_gen = os.path.join(out_dir, f"doc_text_delta_{n_gen:05d}")
@@ -1853,7 +1900,8 @@ def _append_delta_derived(
         def _run_tombstones():
             replaced = (
                 spark.read.parquet(ids_path)
-                .join(F.broadcast(delta.select("url")), "url")
+                .join(_bcast_small(delta.select("url"), delta_gen_path),
+                      "url")
                 .select("url", "doc_id", "shard", "local_id")
             )
             if os.path.isdir(tomb_path) and _dir_parquet_bytes(tomb_path):
@@ -1957,7 +2005,7 @@ def _append_delta_derived(
         ids_delta = spark.read.parquet(ids_tmp)
         m["finished"] = time.time() - t_start
 
-        docs = delta.join(F.broadcast(ids_delta), "url")
+        docs = delta.join(_bcast_small(ids_delta, ids_tmp), "url")
         exploded = _explode_postings(docs)
 
         # --- positions: encode the delta alone, adopt files — needs only the
@@ -2023,7 +2071,8 @@ def _append_delta_derived(
             # on-disk) doc_map rows — a broadcast semi-join, O(delta) rows
             stats_parts = stats_parts.unionByName(
                 spark.read.parquet(doc_map_path)
-                .join(F.broadcast(replaced_df.select("doc_id")), "doc_id")
+                .join(_bcast_small(replaced_df.select("doc_id"),
+                                   tomb_tmp), "doc_id")
                 .groupBy("shard")
                 .agg(
                     (-F.count("*")).alias("doc_count"),
@@ -2111,7 +2160,8 @@ def _append_delta_derived(
         if n_replaced:
             dead_term = (
                 old_stage.join(
-                    F.broadcast(replaced_df.select("url", "shard")), "url")
+                    _bcast_small(replaced_df.select("url", "shard"),
+                                 tomb_tmp), "url")
                 .select("shard", F.explode(F.arrays_zip("terms", "freqs")).alias("t"))
                 .select("shard", F.col("t.terms").alias("term"),
                         F.col("t.freqs").alias("freq"))

@@ -477,8 +477,12 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> D
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
+    # an all-zero row gives 0/0 = NaN, and Spark sorts NaN ABOVE every
+    # double — the garbage row would take rank 1 (code-review r5); define
+    # a zero vector's similarity as 0.0 like the qn guard above does
+    cosine = F.when(norm > 0, dot / (norm * F.lit(qn))).otherwise(F.lit(0.0))
     return (
-        embeddings.withColumn("cosine", dot / (norm * F.lit(qn)))
+        embeddings.withColumn("cosine", cosine)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", "label", "cosine")

@@ -611,6 +611,26 @@ _SHINGLES_SQL = """
 """
 
 
+_QUERY_CACHES: list = []
+
+
+def _query_cache(df):
+    """cache() scoped to "until the next cached entry runs": entering a
+    cached query first unpersists whatever an earlier entry pinned, so a
+    session running many entries (the 28-query driver pass) holds ONE
+    entry's working set in executor storage instead of accumulating one
+    per dedup query forever (code-review r5). The returned plan must be
+    consumed before another cached entry starts — true for the driver
+    (collects each entry fully) and the test gate."""
+    while _QUERY_CACHES:
+        try:
+            _QUERY_CACHES.pop().unpersist()
+        except Exception:
+            pass
+    _QUERY_CACHES.append(df.cache())
+    return df
+
+
 JACCARD_SHINGLE_DF_CAP = 1000
 
 
@@ -626,7 +646,7 @@ def q_dedup_jaccard(spark, sf):
     overlap to be corpus-wide boilerplate — such pairs surface via exact /
     minhash dedup instead. The oracle SQL applies the identical cap.
     """
-    sh = _shingles(spark, sf).cache()
+    sh = _query_cache(_shingles(spark, sf))
     hot = (
         sh.groupBy("shingle").agg(F.count("*").alias("df"))
         .filter(F.col("df") > JACCARD_SHINGLE_DF_CAP)
@@ -716,7 +736,7 @@ def q_dedup_minhash_lsh(spark, sf):
     At scale the band join is the standard shingle->minhash->band->bucket-join
     pipeline; candidates per band bucket only.
     """
-    sh = _shingles(spark, sf).cache()
+    sh = _query_cache(_shingles(spark, sf))
     # Single-pass signatures: ONE md5 per shingle (31-bit truncation) fanned
     # into 16 affine permutations h_i = (a_i*x + b_i) mod (2^31-1) — exact
     # int64 arithmetic both engines can reproduce (products < 2^62, so no
@@ -966,9 +986,12 @@ _EMB_BANDS = 4  # 4 bits per band
 _EMB_T2 = 16    # cos >= sqrt(T2/100) = 0.4 (chosen non-vacuous on testdata)
 
 
-def _emb_w(i, j):
-    """Deterministic integer hyperplane weight, identical in both engines."""
-    return (1103515245 * (i * 97 + j * 31 + 7)) % 65536 - 32768
+# The hyperplane-weight formula
+#   w(i, j) = (1103515245 * (i*97 + j*31 + 7)) % 65536 - 32768
+# exists in exactly TWO places that must stay identical: the Spark
+# column lambda in q_dedup_embedding below and the DuckDB SQL in
+# _emb_sql (a scalar helper cannot be shared into Column math, so the
+# twin-copy is deliberate — edit both or the oracle gate catches it).
 
 
 def q_dedup_embedding(spark, sf):
@@ -1399,7 +1422,11 @@ def q_stream_sessionize(spark, sf):
         .option("checkpointLocation", ck)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a partial memory table would surface as a value mismatch
+        # against the oracle — fail loudly as what it is (code-review r5)
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain within 300s")
     return spark.table(name).orderBy("user_id", "session_id")
 
 
@@ -1521,7 +1548,9 @@ def q_stream_events_hourly(spark, sf):
         .option("checkpointLocation", ck)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain within 300s")
     return spark.table(name).orderBy("hour", "event_type")
 
 

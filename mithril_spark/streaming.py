@@ -17,6 +17,7 @@ index stays fresh" is a streaming ingest of the `pages` table:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,14 +75,21 @@ def _session_fn(key, pdfs, state):
         last_ts, session_id = state.get
     else:
         last_ts, session_id = -10**15, 0
+    # Buffer the whole group before sorting: Spark hands a group as an
+    # ITERATOR of Arrow-batch-sized chunks in shuffle order (it sorts by
+    # grouping key only), so a user with more events than one batch — or
+    # events interleaved across map partitions — arrives time-unordered
+    # ACROSS chunks. A per-chunk sort sessionized those out of order,
+    # diverging from the batch twin (code-review r5). Bounded memory:
+    # one user's events per micro-batch.
+    chunks = [pdf["ts"].astype("int64") // 10**9 for pdf in pdfs]
+    ts_all = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
     n = 0
-    for pdf in pdfs:
-        ts = pdf["ts"].astype("int64") // 10**9
-        for t in sorted(ts):
-            if t - last_ts > SESSION_GAP_S:
-                session_id += 1
-            last_ts = t
-            n += 1
+    for t in ts_all:
+        if t - last_ts > SESSION_GAP_S:
+            session_id += 1
+        last_ts = t
+        n += 1
     state.update((int(last_ts), int(session_id)))
     yield pd.DataFrame(
         {"user_id": [user_id], "session_id": [session_id], "n_events": [n]}

@@ -1107,3 +1107,73 @@ def test_empty_delta_merge_is_a_true_noop(spark, tmp_path_factory):
     merge_index_delta(twin, pages_to_df(spark, delta))
     merge_index_delta(twin, pages_to_df(spark, more))
     _assert_same_index(spark, twin, inc_dir)
+
+
+def test_force_rebuild_sweeps_stale_stage_deltas(spark, tmp_path_factory):
+    """build_index(force=True) over a dir that previously received append
+    merges must sweep the old stage_delta_* generations: the rebuild
+    derives from the freshly written stage_raw ALONE, so surviving deltas
+    would both be counted adopted by the ledger and resolve their stale
+    rows back over the new corpus in every read_stage consumer
+    (refresh_pagerank, the next merge's old_stage, compact_stage) —
+    silently diverging from the served tables (code-review r5)."""
+    from mithril_spark.indexer import _stage_generations, read_stage
+
+    pages = _sorted_pages(50, seed=29)
+    base, delta = pages[:35], pages[35:]
+    new_corpus = generate_pages(30, seed=91)
+
+    d = str(tmp_path_factory.mktemp("force_sweep") / "i")
+    build_index(pages_to_df(spark, base), d, num_shards=2)
+    merge_index_delta(d, pages_to_df(spark, delta))
+    assert len(_stage_generations(d)) == 2  # the delta generation exists
+
+    build_index(pages_to_df(spark, new_corpus), d, num_shards=2, force=True)
+    assert _stage_generations(d) == [os.path.join(d, "stage_raw")]
+    # the resolved corpus is EXACTLY the new corpus's admitted rows — no
+    # stale delta url survives the sweep
+    from mithril_spark.indexer import extract_docs
+
+    want_urls = {
+        bytes(r["url"]) for r in
+        extract_docs(pages_to_df(spark, new_corpus)).select("url").collect()
+    }
+    got_urls = {
+        bytes(r["url"]) for r in read_stage(spark, d).select("url").collect()
+    }
+    assert got_urls == want_urls
+    meta = json.load(open(os.path.join(d, "index_meta.json")))
+    assert meta["stage_generations"] == 0
+
+    # the rebuilt index serves the NEW corpus, not a stale-delta blend
+    eng = SearchEngine(spark, d, cache_doc_map=False)
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in new_corpus], num_shards=2)
+    for q in QUERIES[:3]:
+        assert eng.top_k(q) == oracle.top_k(q), q
+
+    # and the next merge still works on the clean ledger
+    merge_index_delta(d, pages_to_df(spark, generate_pages(34, seed=91)[30:]))
+
+
+def test_merge_joins_degrade_without_broadcast(spark, tmp_path_factory,
+                                               monkeypatch):
+    """The append merge's delta-bounded joins are byte-guarded broadcasts
+    (code-review r5): with the budget forced to 0 every join takes the
+    AQE sort-merge path, and the merged index must be IDENTICAL to the
+    broadcast twin — the guard changes physical strategy only."""
+    from mithril_spark import indexer as ix
+
+    pages = _sorted_pages(50, seed=37)
+    base, delta = pages[:40], pages[32:]  # 8 re-crawls + 10 new urls
+
+    a = str(tmp_path_factory.mktemp("bcast_on") / "i")
+    build_index(pages_to_df(spark, base), a, num_shards=2)
+    merge_index_delta(a, pages_to_df(spark, delta))
+
+    b = str(tmp_path_factory.mktemp("bcast_off") / "i")
+    build_index(pages_to_df(spark, base), b, num_shards=2)
+    monkeypatch.setattr(ix, "BROADCAST_BYTES_CAP", 0)
+    merge_index_delta(b, pages_to_df(spark, delta))
+
+    _assert_same_index(spark, a, b)

@@ -181,3 +181,46 @@ def test_resume_after_midbuild_crash(spark, tmp_path_factory):
     eb = SearchEngine(spark, b_dir, cache_doc_map=False)
     for q in ["search engine", "granite OR marble", "NOT quartz"]:
         assert ea.top_k(q) == eb.top_k(q), q
+
+
+def test_assign_meta_commits_before_ids(spark, tmp_path_factory,
+                                        monkeypatch):
+    """_assign_meta.json is written BEFORE the doc_ids _SUCCESS commit
+    (code-review r5): the resume gate is the ids marker, so the old
+    order's crash window (ids committed, meta missing/stale) either dead-
+    ended the resume on FileNotFoundError or silently reused a previous
+    build's total_docs/shard_size. Simulate a crash DURING the ids write
+    and prove the on-disk state is the safe one — meta present, marker
+    absent — and that a plain re-run converges to a clean twin."""
+    import os
+
+    from mithril_spark import indexer as ix
+
+    pages = generate_pages(40, seed=19)
+    df = pages_to_df(spark, pages)
+
+    a_dir = str(tmp_path_factory.mktemp("ameta_full") / "i")
+    build_index(df, a_dir, num_shards=2)
+
+    b_dir = str(tmp_path_factory.mktemp("ameta_crash") / "i")
+    real = ix._write_once
+
+    def boom(sdf, path, force=False):
+        if path.endswith("doc_ids"):
+            raise RuntimeError("simulated crash during the ids write")
+        return real(sdf, path, force=force)
+
+    monkeypatch.setattr(ix, "_write_once", boom)
+    try:
+        build_index(df, b_dir, num_shards=2)
+        raise AssertionError("build survived the simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(ix, "_write_once", real)
+
+    # the safe crash state: meta already durable, ids not yet committed
+    assert os.path.exists(os.path.join(b_dir, "_assign_meta.json"))
+    assert not os.path.exists(os.path.join(b_dir, "doc_ids", "_SUCCESS"))
+
+    build_index(df, b_dir, num_shards=2)
+    _assert_same_index(spark, a_dir, b_dir)

@@ -264,3 +264,93 @@ def test_stream_sessionize_equals_batch(spark):
     got = got.sort_values("user_id").reset_index(drop=True)[cols].astype("int64")
     want = want.sort_values("user_id").reset_index(drop=True)[cols].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_session_fn_sorts_across_chunks():
+    """Spark delivers one group's rows as MULTIPLE Arrow chunks in
+    shuffle order; sessionization must sort the whole group, not each
+    chunk (code-review r5). Out-of-order chunks used to miscount
+    30-min-gap sessions vs the same rows in one sorted chunk."""
+    import pandas as pd
+
+    from mithril_spark.streaming import _session_fn
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    def run(chunks):
+        st = _State()
+        out = list(_session_fn((7,), iter(chunks), st))
+        return st.value, out[0].to_dict("records")
+
+    m = 60 * 10**9  # one minute in ns
+    # 3 sessions: {0, 10m}, {5h, 5h10m}, {10h} (gap threshold 30 min)
+    ts = [0 * m, 10 * m, 300 * m, 310 * m, 600 * m]
+    one = [pd.DataFrame({"ts": pd.to_datetime(ts)})]
+    split = [
+        pd.DataFrame({"ts": pd.to_datetime([300 * m, 310 * m, 600 * m])}),
+        pd.DataFrame({"ts": pd.to_datetime([0 * m, 10 * m])}),
+    ]
+    assert run(one) == run(split)
+    assert run(split)[0][1] == 3  # session count, not an ordering artifact
+
+
+def test_stream_sessionize_equals_batch_tiny_arrow_batches(spark):
+    """The stream==batch gate under forced multi-chunk groups: a tiny
+    maxRecordsPerBatch splits every user's events across Arrow chunks,
+    so the cross-chunk sort (not chunk-arrival order) must carry the
+    equality."""
+    import pandas as pd
+
+    from mithril_spark.relational import (
+        q_events_sessionize,
+        q_stream_sessionize,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "5")
+    try:
+        sf = "/root/testdata/sf0.001"
+        got = q_stream_sessionize(spark, sf).toPandas()
+        got = got.groupby("user_id", as_index=False)[
+            ["session_id", "n_events"]
+        ].max()
+        want = (
+            q_events_sessionize(spark, sf)
+            .toPandas()
+            .rename(columns={"n_sessions": "session_id"})
+        )
+        cols = ["user_id", "session_id", "n_events"]
+        got = got.sort_values("user_id").reset_index(drop=True)[cols].astype("int64")
+        want = want.sort_values("user_id").reset_index(drop=True)[cols].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_cosine_topk_zero_vector_never_ranks(spark):
+    """An all-zero embedding yields 0/0 — Spark sorts NaN above every
+    double, so the garbage row used to take rank 1 (code-review r5). A
+    zero vector's similarity is defined as 0.0 and must rank LAST behind
+    any positive-similarity row."""
+    from mithril_spark.pipeline_ops import cosine_topk
+
+    rows = [
+        (1, "a", [1.0, 0.0, 0.0]),
+        (2, "b", [0.5, 0.5, 0.0]),
+        (3, "zero", [0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    got = cosine_topk(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert all(r["cosine"] == r["cosine"] for r in got)  # no NaN
+    full = cosine_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert full[-1]["vec_id"] == 3 and full[-1]["cosine"] == 0.0

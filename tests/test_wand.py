@@ -205,3 +205,45 @@ def test_engine_bm25_topk(spark, tmp_path_factory):
     assert wstats["blocks_skipped"] == (
         wstats["blocks_total"] - wstats["blocks_decoded"]
     )
+
+
+def test_tfn_scale_zero_avg_encode(spark, tmp_path_factory):
+    """min_avg_body_enc == 0.0 must NOT read as "absent" (code-review r5):
+    blocks encoded at avg body length 0 carry max_tfn == max freq
+    (norm=1 branch), while live serving at avg_now > 0 normalizes by as
+    little as 1-b = 0.25 — the sound cover is a 4x bound scale, and the
+    old truthiness test applied none, letting WAND prune a block holding
+    a top-k doc. Also: absent entry and grown-avg entries unchanged."""
+    import json
+    import os
+
+    from mithril_spark.engine import SearchEngine
+    from mithril_spark.fixtures import generate_pages, pages_to_df
+    from mithril_spark.indexer import build_index
+    from mithril_spark.ranking import BM25_B
+
+    d = str(tmp_path_factory.mktemp("tfnscale") / "i")
+    build_index(pages_to_df(spark, generate_pages(40, seed=3)), d,
+                num_shards=2)
+    mpath = os.path.join(d, "index_meta.json")
+    meta = json.load(open(mpath))
+    enc = meta["min_avg_body_enc"]
+    avg0 = SearchEngine(spark, d, cache_doc_map=False).stats[0]
+    avg_now0 = avg0["total_body"] / avg0["doc_count"]
+    assert avg_now0 > 0
+    # shard 0 "encoded at avg 0", shard 1 encoded at half its live avg
+    s1 = SearchEngine(spark, d, cache_doc_map=False).stats[1]
+    enc["0"] = 0.0
+    enc["1"] = (s1["total_body"] / s1["doc_count"]) / 2.0
+    json.dump(meta, open(mpath, "w"))
+    eng = SearchEngine(spark, d, cache_doc_map=False)
+    assert eng._tfn_scale[0] == 1.0 / (1.0 - BM25_B)  # the 4x cover
+    assert abs(eng._tfn_scale[1] - 2.0) < 1e-12        # ratio path intact
+    # absent entry -> no scale
+    del meta["min_avg_body_enc"]["0"]
+    json.dump(meta, open(mpath, "w"))
+    eng2 = SearchEngine(spark, d, cache_doc_map=False)
+    assert 0 not in eng2._tfn_scale
+    # WAND with the loosened bounds still matches the unscaled twin
+    assert eng.bm25_topk("search engine", k=10) == \
+        eng2.bm25_topk("search engine", k=10)
