@@ -34,8 +34,17 @@ def entry(spark: SparkSession) -> DataFrame:
     meta_path = os.path.join(index_dir, "index_meta.json")
     cached_ok = False
     if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            cached_ok = json.load(f).get("entry_cache_version") == CACHE_VERSION
+        # a crash mid-rewrite (the 'w' + json.dump below) leaves invalid
+        # JSON in the persistent /tmp dir; treat unparseable/odd-shaped
+        # meta as cache-invalid so the rmtree+rebuild path self-heals
+        # instead of failing on every future run (code-review r5)
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            cached_ok = (isinstance(meta, dict)
+                         and meta.get("entry_cache_version") == CACHE_VERSION)
+        except (json.JSONDecodeError, OSError):
+            cached_ok = False
     if not cached_ok:
         shutil.rmtree(index_dir, ignore_errors=True)
         pages = pages_to_df(spark, generate_pages(120, seed=42))

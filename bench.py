@@ -48,7 +48,6 @@ def main() -> None:
     from mithril_spark.engine import SearchEngine
     from mithril_spark.fixtures import generate_pages, pages_to_df
     from mithril_spark.indexer import build_index
-    from mithril_spark.pagerank import spark_pagerank
     from mithril_spark.query.isr import ShardIndex
     from mithril_spark.query.shard import evaluate_query, evaluate_query_scalar
     from mithril_spark.relational import QUERIES
@@ -105,12 +104,13 @@ def main() -> None:
 
     # --- PageRank over the built index's link graph ---
     def pagerank_run():
+        # THE shared graph construction (indexer._stage_pagerank) — the
+        # bench must measure the same graph the product computes, not an
+        # inline copy that can drift (code-review r5)
+        from mithril_spark.indexer import _stage_pagerank
+
         stage = spark.read.parquet(index_dir + "/stage_raw")
-        link_edges = stage.select(F.col("url").alias("src"),
-                                  F.explode("links").alias("dst"))
-        graph_nodes = stage.select(F.col("url").alias("node")).unionByName(
-            link_edges.select(F.col("dst").alias("node")))
-        extras["pagerank_nodes"] = spark_pagerank(link_edges, graph_nodes).count()
+        extras["pagerank_nodes"] = _stage_pagerank(stage).count()
 
     steps.append(("pagerank", None, pagerank_run))
 
@@ -151,10 +151,17 @@ def main() -> None:
     from mithril_spark.indexer import merge_index_delta
 
     lsm_dir = index_dir + "_lsm"
-    lsm_new = generate_pages(300, seed=777)  # fresh url space (new seed)
+    # structurally disjoint url space: a new SEED alone still collides with
+    # the base corpus (the d{i} path segment only disambiguates within one
+    # seed — at defaults one seed-777 url matched the 20k base), silently
+    # turning intended new docs into re-crawls (code-review r5)
+    lsm_new = [
+        dict(p, url=p["url"].replace("://", "://lsm-new.", 1))
+        for p in generate_pages(300, seed=777)
+    ]
     lsm_recrawl = [
         dict(pages[j], html=pages[(j * 7 + 13) % n_pages]["html"])
-        for j in range(0, n_pages, n_pages // 50)
+        for j in range(0, n_pages, max(1, n_pages // 50))
     ]
     lsm_delta_df = pages_to_df(spark, lsm_new + lsm_recrawl).cache()
     lsm_delta_df.count()

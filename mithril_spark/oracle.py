@@ -28,13 +28,6 @@ def extract_text(url: bytes, html: bytes) -> bytes | None:
     return None if doc is None else doc.text
 
 
-def shard_of(doc_id: int, n_docs: int, num_shards: int) -> tuple[int, int]:
-    """(shard, base_doc_id) for a dense docid under contiguous-range sharding."""
-    shard_size = -(-n_docs // num_shards) if n_docs else 1
-    shard = doc_id // shard_size
-    return shard, shard * shard_size
-
-
 class OracleIndex:
     """In-memory index over a page corpus, optionally split into shards."""
 
@@ -61,6 +54,19 @@ class OracleIndex:
                 admitted.append(doc)
         admitted.sort(key=(lambda d: sort_key(d.url)) if sort_key
                       else (lambda d: d.url))
+        # PRECONDITION: unique urls. The Spark build dedupes re-crawled
+        # urls upstream (indexer.dedupe_pages, latest warc_ts); the oracle
+        # has no warc_ts on its (url, html) tuples, so a duplicate here
+        # would silently inflate df/stats and shift every later docid —
+        # fail loud instead of certifying a divergent layout
+        # (code-review r5).
+        for a, b in zip(admitted, admitted[1:]):
+            if a.url == b.url and sort_key is None:
+                raise ValueError(
+                    f"duplicate url in oracle corpus: {a.url!r} — dedupe "
+                    "re-crawls before OracleIndex.build (the Spark build "
+                    "does this via dedupe_pages)"
+                )
 
         pr_by_url: dict[bytes, float] = {}
         if pagerank:

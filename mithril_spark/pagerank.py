@@ -126,7 +126,11 @@ def spark_pagerank(
                 [], "node binary, rank_fp long, pagerank double"
             )
         n_edges = links.count()
-        if n_edges <= local_threshold:
+        # the local path collects BOTH relations to the driver, so a
+        # sparse graph (few links over many pages) must not slip through
+        # an edges-only gate and pull an O(corpus) node list into driver
+        # memory (code-review r5)
+        if n_edges <= local_threshold and n <= local_threshold:
             edge_rows = [
                 (bytes(r["src"]), bytes(r["dst"]))
                 for r in links.select("src", "dst").collect()

@@ -49,15 +49,23 @@ def combined_text(title_words: list[str], desc: str, body: str) -> str:
     return ""
 
 
+# C-locale std::isspace set (Snippets.h:230-236). NOT str.isspace: the
+# text here is latin-1-decoded bytes, and Python additionally treats
+# '\xa0' (NBSP, a lawful byte of multi-byte entity expansions) and
+# '\x85' as whitespace — which would count phantom token separators and
+# shift every position-based snippet off the reference (code-review r5).
+_C_SPACE = frozenset(" \t\n\v\f\r")
+
+
 def _char_pos_of_token(text: str, token_index: int) -> int:
     """findCharPositionFromTokenIndex (Snippets.h:224-243)."""
     pos = 0
     count = 0
     n = len(text)
     while pos < n and count < token_index:
-        while pos < n and not text[pos].isspace():
+        while pos < n and text[pos] not in _C_SPACE:
             pos += 1
-        while pos < n and text[pos].isspace():
+        while pos < n and text[pos] in _C_SPACE:
             pos += 1
         count += 1
     return pos

@@ -186,3 +186,21 @@ def test_bm25_wand_snippets_match_oracle(spark, tmp_path_factory):
         assert shared, q
         for u in shared:
             assert wand[u] == flag[u], (q, u)
+
+
+def test_char_pos_of_token_c_isspace():
+    """Token hopping uses the C-locale isspace set (Snippets.h:230-236),
+    not Python str.isspace: latin-1-decoded text lawfully contains raw
+    0xA0 bytes (tails of multi-byte entity expansions), which Python
+    calls whitespace but C does not — counting phantom separators shifted
+    every later token's char position (code-review r5)."""
+    from mithril_spark.snippets import _char_pos_of_token
+
+    # '\xa0' glues "alpha" and "beta" into ONE C token
+    text = "alpha\xa0beta gamma delta"
+    assert _char_pos_of_token(text, 1) == text.index("gamma")
+    assert _char_pos_of_token(text, 2) == text.index("delta")
+    # pure-ASCII behavior unchanged
+    plain = "one two  three"
+    assert _char_pos_of_token(plain, 1) == plain.index("two")
+    assert _char_pos_of_token(plain, 2) == plain.index("three")
