@@ -1177,3 +1177,97 @@ def test_merge_joins_degrade_without_broadcast(spark, tmp_path_factory,
     merge_index_delta(b, pages_to_df(spark, delta))
 
     _assert_same_index(spark, a, b)
+
+
+def test_merge_op_sequence_fuzz(spark, tmp_path_factory):
+    """Seeded random op sequence over the LSM lifecycle — appends,
+    re-crawls (incl. of already-re-crawled urls), EMPTY deltas, and
+    MID-SEQUENCE compactions in whatever order the seed deals — with the
+    crash-consistency ledger, the live doc_map view, and serving checked
+    after every step, and full byte-identity against a fresh build over
+    the final resolved corpus at the end. The hand-written cases cover
+    each transition once; this covers their compositions."""
+    import random as _random
+
+    from mithril_spark.indexer import (
+        _stage_generations,
+        extract_docs,
+        read_stage,
+    )
+    from mithril_spark.text.docproc import process_page
+
+    pages = generate_pages(260, seed=55)
+    rng = _random.Random(4242)
+    base, pool = pages[:70], pages[70:]
+    d = str(tmp_path_factory.mktemp("fuzz") / "i")
+    build_index(pages_to_df(spark, base), d, num_shards=2)
+
+    current = {p["url"]: p for p in base}  # live model: url -> latest page
+    pool_i = 0
+    ops_run = []
+    for step in range(8):
+        op = rng.choice(["new", "recrawl", "mixed", "empty", "compact"])
+        if op == "compact":
+            compact_index(spark, d)
+        elif op == "empty":
+            probe = pages_to_df(spark, pool[pool_i:pool_i + 3])
+            res = merge_index_delta(
+                d, extracted=extract_docs(probe).limit(0))
+            assert res["mode"] == "append"
+        else:
+            fresh, recrawls = [], []
+            if op in ("new", "mixed"):
+                fresh = pool[pool_i:pool_i + 8]
+                pool_i += 8
+            if op in ("recrawl", "mixed"):
+                for src in rng.sample(sorted(current), 4):
+                    donor = rng.choice(pages)
+                    cand = dict(current[src], html=donor["html"])
+                    # model stays exact only for admissible re-crawls: an
+                    # inadmissible delta row never reaches the stage, so
+                    # the index correctly keeps the OLD content while a
+                    # fresh build over "latest pages" would drop the url
+                    if process_page(cand["url"].encode(),
+                                    cand["html"]) is not None:
+                        recrawls.append(cand)
+            delta = fresh + recrawls
+            if not delta:
+                continue
+            res = merge_index_delta(d, pages_to_df(spark, delta))
+            assert res["mode"] == "append"
+            for p in delta:
+                current[p["url"]] = p
+        ops_run.append(op)
+
+        # per-step invariants: ledger == disk, live view == model,
+        # serving never surfaces a dead/missing doc
+        meta = json.load(open(os.path.join(d, "index_meta.json")))
+        assert meta["stage_generations"] == \
+            len(_stage_generations(d)) - 1, ops_run
+        admitted = {
+            u.encode() for u, p in current.items()
+            if process_page(p["url"].encode(), p["html"]) is not None
+        }
+        live = {
+            bytes(r["url"]) for r in
+            read_doc_map_live(spark, d).select("url").collect()
+        }
+        assert live == admitted, ops_run
+        assert {
+            bytes(r["url"]) for r in
+            read_stage(spark, d).select("url").collect()
+        } == admitted, ops_run
+        eng = SearchEngine(spark, d, cache_doc_map=False)
+        for _did, _s, url, _t in eng.top_k("search engine"):
+            assert url != b"", ops_run
+
+    assert {"new", "recrawl", "mixed", "empty", "compact"} >= set(ops_run)
+    assert len(ops_run) >= 6  # the seed exercises a real sequence
+
+    # end state: compact folds the whole history to byte-identity with a
+    # fresh build over the final resolved corpus
+    full = str(tmp_path_factory.mktemp("fuzz_full") / "i")
+    build_index(pages_to_df(spark, list(current.values())), full,
+                num_shards=2)
+    compact_index(spark, d)
+    _assert_same_index(spark, full, d)
