@@ -24,7 +24,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 QUERIES = [
     "q_dedup_exact",
@@ -62,20 +63,25 @@ def main() -> None:
             fn(spark, SF_B).collect()
             tb = time.time() - t0
             pairs.append((ta, tb))
-        # minimum-sum pair: the sample least polluted by tenancy noise
-        ta, tb = min(pairs, key=lambda p: p[0] + p[1])
+        # MEDIAN pair by pair-sum (the documented protocol): robust to a
+        # single low-contention outlier, which the old min-sum pick
+        # promoted to the headline (code-review r5)
+        ta, tb = sorted(pairs, key=lambda p: p[0] + p[1])[len(pairs) // 2]
+        ratio = round(tb / ta, 2) if ta > 0 else None
         results.append({
             "query": name,
             "sf0.01_s": round(ta, 3), "sf0.1_s": round(tb, 3),
-            "time_ratio": round(tb / ta, 2) if ta > 0 else None,
+            "time_ratio": ratio,
             "rows_small": rows_a, "rows_large": rows_b,
             "pairs": [[round(x, 3), round(y, 3)] for x, y in pairs],
         })
-        print(f"{name}: {ta:.2f}s -> {tb:.2f}s (x{tb / ta:.1f})",
+        print(f"{name}: {ta:.2f}s -> {tb:.2f}s (x{ratio})",
               file=sys.stderr)
 
-    os.makedirs("benchres", exist_ok=True)
-    with open("benchres/dedup_scaling.json", "a") as f:
+    # anchor to the repo like the sibling scripts — a run from outside
+    # the root must not scatter the JSON into cwd
+    os.makedirs(os.path.join(ROOT, "benchres"), exist_ok=True)
+    with open(os.path.join(ROOT, "benchres", "dedup_scaling.json"), "a") as f:
         f.write(json.dumps({"ts_monotonic": time.monotonic(),
                             "reps": reps, "results": results}) + "\n")
 

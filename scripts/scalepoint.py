@@ -68,14 +68,19 @@ def main() -> None:
         )
         corpora[n].count()
 
-    shards_for = dict(zip(SIZES, SHARDS))
-    runs: dict[int, list[dict]] = {n: [] for n in SIZES}
+    # measurement points are (size, shards) PAIRS keyed jointly: a dict
+    # keyed by size alone collapsed duplicate sizes (the natural
+    # same-corpus/two-shard-layouts experiment silently measured one
+    # layout twice — code-review r5)
+    points = list(zip(SIZES, SHARDS))
+    keys = [f"{n}x{sh}" for n, sh in points]
+    runs: dict[str, list[dict]] = {k: [] for k in keys}
     for rep in range(reps):
-        for n in SIZES:
-            idx = f"/tmp/mithril_scalepoint_idx_{n}"
+        for (n, sh), key in zip(points, keys):
+            idx = f"/tmp/mithril_scalepoint_idx_{key}"
             shutil.rmtree(idx, ignore_errors=True)
             t0 = time.time()
-            build_index(corpora[n], idx, num_shards=shards_for[n], force=True)
+            build_index(corpora[n], idx, num_shards=sh, force=True)
             build_s = time.time() - t0
             engine = SearchEngine(spark, idx)
             engine.top_k(QUERIES[0])  # warm
@@ -84,30 +89,32 @@ def main() -> None:
                 engine.top_k(q)
             search_s = time.time() - t0
             rec = {
-                "rep": rep, "n_pages": n, "num_shards": shards_for[n],
+                "rep": rep, "n_pages": n, "num_shards": sh,
                 "build_s": round(build_s, 2),
                 "docs_per_sec": round(n / build_s, 1),
                 "search_s_per_q": round(search_s / len(QUERIES), 3),
             }
-            runs[n].append(rec)
+            runs[key].append(rec)
             print(rec, flush=True)
 
     summary = {
-        n: {
-            "docs_per_sec_best": max(r["docs_per_sec"] for r in runs[n]),
-            "search_s_per_q_best": min(r["search_s_per_q"] for r in runs[n]),
+        k: {
+            "docs_per_sec_best": max(r["docs_per_sec"] for r in runs[k]),
+            "search_s_per_q_best": min(r["search_s_per_q"] for r in runs[k]),
         }
-        for n in SIZES
+        for k in keys
     }
-    # per-pair throughput ratio: how much of the small-corpus rate survives
-    # a 5x corpus (fixed-overhead amortization means >1.0 is possible)
-    pair_ratio = [
-        round(b["docs_per_sec"] / a["docs_per_sec"], 3)
-        for a, b in zip(runs[SIZES[0]], runs[SIZES[1]])
-    ]
     out = {"runs": runs, "summary": summary,
-           f"pair_throughput_ratio_{SIZES[1]}_vs_{SIZES[0]}": pair_ratio,
-           "cpus": cpus, "reps": reps, "shards": shards_for}
+           "cpus": cpus, "reps": reps,
+           "points": [{"n_pages": n, "num_shards": sh} for n, sh in points]}
+    # per-pair throughput ratio: how much of the first point's rate
+    # survives at the second (fixed-overhead amortization means >1.0 is
+    # possible). Only defined for the two-point protocol.
+    if len(keys) == 2:
+        out[f"pair_throughput_ratio_{keys[1]}_vs_{keys[0]}"] = [
+            round(b["docs_per_sec"] / a["docs_per_sec"], 3)
+            for a, b in zip(runs[keys[0]], runs[keys[1]])
+        ]
     os.makedirs(os.path.join(ROOT, "benchres"), exist_ok=True)
     # default pair keeps its historical filename; curve extensions and
     # proportional-shard runs get their own file next to it
@@ -117,9 +124,9 @@ def main() -> None:
                  "_".join(f"{n}x{s}" for n, s in zip(SIZES, SHARDS))))
     with open(os.path.join(ROOT, "benchres", fname), "w") as f:
         json.dump(out, f, indent=2)
-    for n in SIZES:
-        s = summary[n]
-        print(f"| {n:,} pages | {s['docs_per_sec_best']:,.0f} | "
+    for (n, sh), k in zip(points, keys):
+        s = summary[k]
+        print(f"| {n:,} pages / {sh} shards | {s['docs_per_sec_best']:,.0f} | "
               f"{s['search_s_per_q_best']:.3f} |")
 
 

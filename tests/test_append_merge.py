@@ -1205,8 +1205,13 @@ def test_merge_op_sequence_fuzz(spark, tmp_path_factory):
     current = {p["url"]: p for p in base}  # live model: url -> latest page
     pool_i = 0
     ops_run = []
-    for step in range(8):
-        op = rng.choice(["new", "recrawl", "mixed", "empty", "compact"])
+    # every op KIND present by construction, order randomized — rng.choice
+    # alone could (and under one seed, would) skip a kind, silently losing
+    # the lifecycle coverage the docstring promises (code-review r5)
+    ops = ["new", "recrawl", "mixed", "empty", "compact",
+           "mixed", "empty", "new"]
+    rng.shuffle(ops)
+    for op in ops:
         if op == "compact":
             compact_index(spark, d)
         elif op == "empty":
@@ -1220,7 +1225,11 @@ def test_merge_op_sequence_fuzz(spark, tmp_path_factory):
                 fresh = pool[pool_i:pool_i + 8]
                 pool_i += 8
             if op in ("recrawl", "mixed"):
-                for src in rng.sample(sorted(current), 4):
+                candidates = sorted(current)
+                rng.shuffle(candidates)
+                for src in candidates:
+                    if len(recrawls) == 4:
+                        break
                     donor = rng.choice(pages)
                     cand = dict(current[src], html=donor["html"])
                     # model stays exact only for admissible re-crawls: an
@@ -1230,9 +1239,8 @@ def test_merge_op_sequence_fuzz(spark, tmp_path_factory):
                     if process_page(cand["url"].encode(),
                                     cand["html"]) is not None:
                         recrawls.append(cand)
+                assert recrawls  # the pool always yields admissible content
             delta = fresh + recrawls
-            if not delta:
-                continue
             res = merge_index_delta(d, pages_to_df(spark, delta))
             assert res["mode"] == "append"
             for p in delta:
@@ -1261,8 +1269,9 @@ def test_merge_op_sequence_fuzz(spark, tmp_path_factory):
         for _did, _s, url, _t in eng.top_k("search engine"):
             assert url != b"", ops_run
 
-    assert {"new", "recrawl", "mixed", "empty", "compact"} >= set(ops_run)
-    assert len(ops_run) >= 6  # the seed exercises a real sequence
+    # every op kind actually executed (subset-direction matters!)
+    assert set(ops_run) == {"new", "recrawl", "mixed", "empty", "compact"}
+    assert len(ops_run) == 8
 
     # end state: compact folds the whole history to byte-identity with a
     # fresh build over the final resolved corpus

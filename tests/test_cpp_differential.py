@@ -425,8 +425,11 @@ def test_snippet_chain_matches_reference(snippet_driver):
             cases.append((text, qterms, positions))
 
     rng = random.Random(20260816)
+    # parenthesize the repeat: implicit literal concatenation binds first,
+    # so the old expression triplicated the whole sentence instead of
+    # adding the intended "xxx" token (code-review r5)
     filler = ("alpha beta. gamma needle? delta! word here tail "
-              "x" * 3 + " ").split()
+              + "x" * 3 + " ").split()
     for _ in range(80):
         words = [rng.choice(filler) for _ in range(rng.randint(0, 120))]
         text = " ".join(words)
@@ -693,12 +696,16 @@ def test_isr_algebra_matches_reference(isr_driver):
                     isr.seek_to_doc_id(int(op[1:]))
                 state()
         except IsrError:
-            py_states = py_states + ["E"] if False else ["E"]
-        if ref_states == ["E"] or py_states == ["E"]:
-            assert ref_states[-1] == "E" and py_states == ["E"], (toks, ops)
-            continue
-        assert py_states == ref_states, (dc, toks, ops, py_states[:5],
-                                         ref_states[:5])
+            # keep the pre-error prefix: the driver prints every state
+            # BEFORE its exception too, so an error at the WRONG step (or
+            # divergent states leading up to it) must fail the compare —
+            # the old collapse to ["E"] masked exactly that class (fixed,
+            # code-review r5)
+            py_states.append("E")
+        assert py_states == ref_states, (dc, toks, ops, py_states[:6],
+                                         ref_states[:6])
+        if py_states[-1] == "E":
+            continue  # enumeration below would raise the same error
 
         # enumerate-to-exhaustion check + vec gate validation (m-only walks
         # start from a fresh tree: the op walk above consumed state)

@@ -212,5 +212,9 @@ def test_one_pass_limit_scope_is_refcounted(spark):
             assert spark.conf.get(key, None) == "10000"
         assert spark.conf.get(key, None) is None
     finally:
+        # restore EITHER way: an assertion mid-scope must not leave the
+        # conf pinned on the session-scoped SparkSession for later tests
         if prev is not None:
             spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)

@@ -24,7 +24,9 @@ PCOLS = ["term", "shard", "salt", "block_id", "doc_count", "first_doc_id",
 XCOLS = ["term", "shard", "salt", "doc_count", "first_doc_id", "last_doc_id",
          "doc_ids_enc", "flags_enc", "pos_counts_enc", "positions_enc"]
 DCOLS = ["shard", "doc_id", "local_id", "url", "title_len", "body_len",
-         "static_rank"]
+         "static_rank", "pagerank"]  # pagerank too: float32, bit-identical
+# by invariant (Spark == numpy exact fixed point -> same standardization),
+# so stale/partial scores fail the identity gates, not just all-zeros
 TCOLS = ["term", "shard", "df", "cf"]
 SCOLS = ["shard", "doc_count", "total_body", "total_title", "total_url",
          "total_desc"]

@@ -36,7 +36,10 @@ def test_boundaries_extend_to_sentence():
     text = "start. " + "x" * 200 + ". tail words here"
     start, end = _boundaries(text, 150, 75)
     # start walked back <=100 chars to just after a '.', or stopped at limit
-    assert text[start - 1] == "." or start == 150 - 75 - 100
+    # the walk-back limit clamps at 0 (snippets.py), so "stopped at
+    # limit" means start == max(0, ...) — the unclamped arm was -25,
+    # unsatisfiable by any valid start (code-review r5)
+    assert text[start - 1] == "." or start == max(0, 150 - 75 - 100)
     assert text[end - 1] == "." or end == min(150 + 75 + 100, len(text))
 
 
