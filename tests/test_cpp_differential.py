@@ -311,19 +311,17 @@ _LEX_QUERIES_EXTRA = [
 ]
 
 
-def test_query_lexer_token_identical(lex_driver):
+def _assert_lexer_identical(lex_driver, queries):
     """Token streams (type + value) must match the compiled reference lexer;
     on malformed input BOTH sides must reject (the reference emits its
     prefix tokens before throwing — the parser aborts to [] either way, so
     the observable contract is reject-vs-reject)."""
-    from mithril_spark.fixtures import QUERY_SET
     from mithril_spark.query import grammar as g
 
     # C++ TokenType order (query/src/Token.h:7-22)
     cpp_type = {g.WORD: 0, g.QUOTE: 1, g.PHRASE: 2, g.FIELD: 3, g.TITLE: 4,
                 g.URL: 5, g.ANCHOR: 6, g.DESC: 7, g.OPERATOR: 10,
                 g.LPAREN: 11, g.RPAREN: 12, g.EOFTOKEN: 13}
-    queries = list(QUERY_SET) + _LEX_QUERIES_EXTRA
     inp = b"".join(b"%d\n%s\n" % (len(q.encode()), q.encode())
                    for q in queries)
     out = subprocess.run([lex_driver], input=inp, capture_output=True,
@@ -353,6 +351,12 @@ def test_query_lexer_token_identical(lex_driver):
         assert py_fail == cpp_fail, (q, cpp_toks[:3])
         if not py_fail:
             assert cpp_toks == py, (q, cpp_toks, py)
+
+
+def test_query_lexer_token_identical(lex_driver):
+    from mithril_spark.fixtures import QUERY_SET
+
+    _assert_lexer_identical(lex_driver, list(QUERY_SET) + _LEX_QUERIES_EXTRA)
 
 
 # --- snippet generator differential (web/src/Snippets.h) ---
@@ -724,3 +728,142 @@ def test_isr_algebra_matches_reference(isr_driver):
                 n_unsafe += 1
     # the generator must actually produce both populations
     assert n_enum > 50 and n_unsafe > 5, (n_enum, n_unsafe)
+
+
+# --- seeded random fuzz differentials ---
+#
+# The hand-written adversarial lists above probe known parser states; these
+# fuzzers probe the interleavings BETWEEN them (tag soup, mismatched quotes,
+# truncated constructs, raw high/NUL bytes). Deterministic (seeded), batched
+# through the compiled reference in one subprocess call like everything else
+# in this module, byte-compared field by field.
+
+_FUZZ_TAG_NAMES = [
+    b"a", b"A", b"base", b"meta", b"title", b"TITLE", b"script", b"style",
+    b"svg", b"symbol", b"defs", b"html", b"embed", b"p", b"div", b"SPAN",
+    b"b", b"h1", b"unknown", b"x-data", b"1bogus", b"", b"!--", b"a b",
+]
+
+_FUZZ_WORDS = [
+    b"alpha", b"Beta", b"GAMMA", b"d1g1t5", b"caf\xc3\xa9", b"\xe5\x8d\x8a",
+    b"&amp;", b"&#65;", b"&#x42;", b"&bogus;", b"&unterminated", b"a&b;c",
+    b"%41%42", b"%4", b"%zz", b"dots...", b"x" * 70, b"\x80\xff", b"-",
+]
+
+_FUZZ_WS = [b" ", b"  ", b"\t", b"\n", b"\r\n", b"\f", b"\v", b""]
+
+
+def _fuzz_doc(rng: random.Random) -> bytes:
+    def text():
+        return b"".join(rng.choice(_FUZZ_WORDS) + rng.choice(_FUZZ_WS)
+                        for _ in range(rng.randint(1, 5)))
+
+    def attrs():
+        out = b""
+        for _ in range(rng.randint(0, 3)):
+            k = rng.choice([b"class", b"href", b"src", b"lang", b"name",
+                            b"content", b"data-x"])
+            quote = rng.choice([b'"', b"'", b""])
+            v = rng.choice([b"x", b"a b", b"<z>", b"a>b", b"%41%2F%3f",
+                            b"&amp;c", b"https://e.com/p?a=1&b=2", b"q'w",
+                            b'q"w', b""])
+            if quote and rng.random() < 0.8:
+                v = v.replace(quote, b"")  # mismatched quotes stay in 20%
+            out += b" " + k + rng.choice([b"=", b" = "]) + quote + v + quote
+        return out
+
+    def piece():
+        r = rng.random()
+        name = rng.choice(_FUZZ_TAG_NAMES)
+        if r < 0.30:
+            return text()
+        if r < 0.42:  # open tag (sometimes unclosed -> doc terminates)
+            return b"<" + name + attrs() + rng.choice(
+                [b">", b"/>", b" >", b">", b">", b""])
+        if r < 0.52:  # close tag
+            return b"</" + name + rng.choice([b">", b" >", b">", b""])
+        if r < 0.60:  # anchor with body, href edge cases
+            href = rng.choice([b"/x", b"%41%42", b"%4g", b"a%2Fb", b"",
+                               b"https://e.com/?a=1&amp;b=2",
+                               b"javascript:v(0)"])
+            return (b"<a href=" + rng.choice([b'"', b"'"]) + href
+                    + rng.choice([b'"', b"'"]) + b">" + text()
+                    + rng.choice([b"</a>", b"</A>", b""]))
+        if r < 0.66:  # meta
+            mname = rng.choice([b"description", b"robots", b"keywords",
+                                b"Description"])
+            return b'<meta name="' + mname + b'" content="' + text() + b'">'
+        if r < 0.70:
+            return (b'<base href="'
+                    + rng.choice([b"https://b.example/", b"/rel", b""])
+                    + b'">')
+        if r < 0.73:
+            return (b'<html lang="'
+                    + rng.choice([b"en", b"en-US", b"", b"zh"]) + b'">')
+        if r < 0.77:  # title (unclosed variant eats the rest of the doc)
+            return (b"<title" + rng.choice([b">", b" id=t>"]) + text()
+                    + rng.choice([b"</title>", b"</TITLE>", b"</titl>",
+                                  b"</title>", b""]))
+        if r < 0.84:  # discard section; closer case matched or not
+            sec = rng.choice([b"script", b"style", b"svg", b"symbol",
+                              b"defs"])
+            closer = rng.choice([sec, sec.upper(), sec.capitalize()])
+            body = text() + rng.choice([b"<fake>", b"if(a>b){}", b"</almost"])
+            return (b"<" + sec + b">" + body
+                    + rng.choice([b"</" + closer + b">", b""]))
+        if r < 0.91:  # comment (quote-skipping EndingOfTag rules)
+            inner = rng.choice([b" c ", b" > ", b" -- ", b" <tags> ",
+                                b' "a>b" ', b""])
+            return b"<!--" + inner + rng.choice([b"-->", b"->", b">", b""])
+        # stray noise
+        return rng.choice([b"<", b"</", b"< ", b">", b"<>", b"</>",
+                           b"\x00", b"\xc3", b"&#xZZ;", b"<!"])
+
+    return b"".join(piece() for _ in range(rng.randint(1, 30)))
+
+
+def test_fuzz_html_byte_identical(driver):
+    rng = random.Random(20260819)
+    docs = [_fuzz_doc(rng) for _ in range(600)]
+    _assert_identical(driver, docs, [d[:60] for d in docs])
+
+
+def test_fuzz_normalizer_byte_identical(norm_driver):
+    """Random byte tokens (all 5 fields, lengths straddling the 64-byte cap,
+    high/NUL bytes, entity fragments) vs the compiled TokenNormalizer."""
+    from mithril_spark.text.normalize import normalize
+
+    rng = random.Random(20260819)
+    pool = (b"abcdefghzZ" b"ABCDEFGH" b"0159"
+            b".,-_'&;=|{}<>()[]$#@%!?/" b" \t" b"\x80\xc3\xa9\xff\x00")
+    toks = []
+    for _ in range(6000):
+        n = rng.choice([0, 1, 2, 3, 5, 8, 13, 21, 34, 55, 63, 64, 65, 80])
+        toks.append((rng.randrange(5),
+                     bytes(rng.choice(pool) for _ in range(n))))
+    inp = b"".join(b"%d %d\n%s\n" % (f, len(t), t) for f, t in toks)
+    out = subprocess.run([norm_driver], input=inp, capture_output=True,
+                         timeout=300).stdout
+    i, res = 0, []
+    while i < len(out):
+        nl = out.index(b"\n", i)
+        n = int(out[i:nl])
+        res.append(out[nl + 1:nl + 1 + n])
+        i = nl + 1 + n + 1
+    assert len(res) == len(toks)
+    for (f, t), got in zip(toks, res):
+        assert got == normalize(t, f), (f, t[:60], got, normalize(t, f))
+
+
+def _fuzz_query(rng: random.Random) -> str:
+    atoms = ["a", "bb", "word", "AND", "OR", "NOT", "and", "Nota",
+             "title:", "url:", "anchor:", "desc:", "TITLE:", ":",
+             '"', "'", "(", ")", " ", "  ", "\t", "|", "2.5", "%41",
+             "x'y", 'q"w']
+    return "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12)))
+
+
+def test_fuzz_query_lexer_token_identical(lex_driver):
+    rng = random.Random(20260819)
+    _assert_lexer_identical(lex_driver,
+                            [_fuzz_query(rng) for _ in range(800)])
