@@ -111,6 +111,74 @@ def test_rank_identity(spark, request, oracle_pages, shards):
         assert engine.top_k(q) == oracle.top_k(q), f"query {q!r} diverged"
 
 
+def _fuzz_engine_query(rng) -> str:
+    """Random grammar-mix query: nested AND/OR/NOT (prefix and the infix
+    quirk), parens, fields, quotes/phrases, odd tokens, plus 15% raw
+    operator soup that may not parse (both sides must then return [])."""
+    from mithril_spark.fixtures import ACRONYMS, ODD_TOKENS, STOP_SAMPLE, VOCAB
+
+    words = VOCAB + STOP_SAMPLE + ACRONYMS + ["zzz", "engine"]
+
+    def atom():
+        r = rng.random()
+        w = rng.choice(words)
+        if r < 0.08:
+            w = w.upper()
+        if r < 0.55:
+            return w
+        if r < 0.67:
+            return rng.choice(["title:", "url:", "desc:", "anchor:"]) + w
+        if r < 0.80:
+            q = rng.choice(['"', "'"])
+            inner = " ".join(rng.choice(words)
+                             for _ in range(rng.randint(1, 3)))
+            return q + inner + q
+        if r < 0.88:
+            return rng.choice(ODD_TOKENS)
+        return " ".join(rng.choice(words) for _ in range(2))  # implicit AND
+
+    def expr(depth=0):
+        r = rng.random()
+        if depth >= 3 or r < 0.45:
+            return atom()
+        if r < 0.60:
+            return f"{expr(depth + 1)} AND {expr(depth + 1)}"
+        if r < 0.72:
+            return f"{expr(depth + 1)} OR {expr(depth + 1)}"
+        if r < 0.80:
+            return f"NOT {expr(depth + 1)}"
+        if r < 0.88:
+            return f"({expr(depth + 1)})"
+        return f"{expr(depth + 1)} NOT {expr(depth + 1)}"
+
+    if rng.random() < 0.15:
+        bits = [atom() if rng.random() < 0.7
+                else rng.choice(["AND", "OR", "NOT", "(", ")"])
+                for _ in range(rng.randint(1, 6))]
+        return " ".join(bits)
+    return expr()
+
+
+def test_rank_identity_fuzz(spark, oracle_pages, index_3):
+    """200 seeded random grammar-mix queries: engine == oracle, docids AND
+    scores, at 3 shards. Extends the fixture QUERY_SET gate to operator
+    interleavings nobody hand-picked."""
+    import random
+
+    from mithril_spark.engine import SearchEngine
+
+    engine = SearchEngine(spark, index_3)
+    oracle = OracleIndex.build(oracle_pages, num_shards=3)
+    rng = random.Random(20260819)
+    n_nonempty = 0
+    for _ in range(200):
+        q = _fuzz_engine_query(rng)
+        got = engine.top_k(q)
+        assert got == oracle.top_k(q), f"query {q!r} diverged"
+        n_nonempty += bool(got)
+    assert n_nonempty > 80, n_nonempty  # generator sanity
+
+
 def test_resume_skips_completed_phases(spark, pages_df, index_1):
     """Re-running build on an existing dir skips every phase (checkpoint/resume)."""
     from mithril_spark.indexer import build_index
