@@ -828,6 +828,28 @@ def test_fuzz_html_byte_identical(driver):
     _assert_identical(driver, docs, [d[:60] for d in docs])
 
 
+def test_fuzz_mutated_corpus_byte_identical(driver):
+    """Truncate, byte-flip, and splice REAL fixture pages: truncation hits
+    end-of-buffer handling at every automaton state (mid-tag, mid-entity,
+    mid-comment, inside a discard section); flips corrupt tag names and
+    quote pairing; splices create stray closers for tags never opened."""
+    from mithril_spark.fixtures import generate_pages
+
+    rng = random.Random(20260819)
+    pages = [p["html"] for p in generate_pages(80, seed=42)]
+    docs = []
+    for h in pages:
+        docs.append(h[:rng.randrange(len(h) + 1)])           # truncate
+        flipped = bytearray(h)
+        for _ in range(rng.randint(1, 8)):
+            flipped[rng.randrange(len(flipped))] = rng.randrange(256)
+        docs.append(bytes(flipped))                           # byte-flip
+        other = pages[rng.randrange(len(pages))]
+        docs.append(h[rng.randrange(len(h)):]                 # splice tails
+                    + other[:rng.randrange(len(other))])
+    _assert_identical(driver, docs, [d[:60] for d in docs])
+
+
 def test_fuzz_normalizer_byte_identical(norm_driver):
     """Random byte tokens (all 5 fields, lengths straddling the 64-byte cap,
     high/NUL bytes, entity fragments) vs the compiled TokenNormalizer."""
