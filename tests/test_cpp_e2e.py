@@ -548,3 +548,41 @@ def test_reference_e2e_fuzz_1600(ref_stack, tmp_path_factory):
     fully_identical, explained = _differential_compare(
         query_exe, work, oracle, queries, min_identical_frac=0.2)
     assert explained > 1000  # attribution at the largest committed scale
+
+
+@pytest.mark.slow
+def test_reference_e2e_fuzz_3200(ref_stack, tmp_path_factory):
+    """3200 docs / 500 queries, a fifth fuzz seed — extends the
+    differential-scale curve (150 -> 400 -> 800 -> 1600 -> 3200). At this
+    scale nearly every multi-term ranked tail crosses the reference's
+    position-cursor defect horizon, so full identity is rare and the
+    entire weight rests on attribution exhaustiveness: every divergent
+    result doc machine-explained by the two documented cursor defects,
+    zero unexplained."""
+    from mithril_spark.fixtures import QUERY_SET, generate_pages
+    from mithril_spark.oracle import OracleIndex
+    from mithril_spark.text.docproc import process_page
+
+    builder, query_exe, _termdict = ref_stack
+    work = str(tmp_path_factory.mktemp("e2e_fuzz3200"))
+    pages = generate_pages(3200, seed=42)
+    docs = sorted(
+        (d for d in (process_page(p["url"].encode(), p["html"])
+                     for p in pages) if d is not None),
+        key=lambda d: d.url,
+    )
+    _write_reference_corpus(docs, work + "/crawl")
+    r = subprocess.run(
+        [builder, work + "/crawl", f"--output={work}/index", "--force",
+         "--quiet"],
+        capture_output=True, timeout=3600,
+    )
+    assert r.returncode == 0, r.stderr[-400:]
+    oracle = OracleIndex.build(
+        [(p["url"].encode(), p["html"]) for p in pages], num_shards=1
+    )
+    queries = list(QUERY_SET) + _extra_queries(
+        n=500 - len(QUERY_SET), seed=777001)
+    fully_identical, explained = _differential_compare(
+        query_exe, work, oracle, queries, min_identical_frac=0.1)
+    assert explained > 1500  # attribution at the largest committed scale
