@@ -18,7 +18,9 @@ times in *interleaved rounds* (the whole suite repeats, so each step's
 samples are spread across the bench window, the same temporal-pairing
 idea as scripts/scaling.py). The headline `queries` timings are the
 per-step MIN across rounds — the contention-free estimate — and the raw
-per-round samples ship in `queries_runs` so the spread is visible.
+per-round samples ship in `benchres/bench_rounds.json` (the printed line
+carries `round_totals` + `contention_spread`; it must stay under the
+driver's 2000-char stdout tail or it records as unparseable).
 
 The index-build step is the BASELINE.md headline (reference: ~2,500 docs/s
 on a single all-core VM, CHANGELOG.md:122); run scripts/scaling.py for the
@@ -370,23 +372,53 @@ def main() -> None:
         timings["search_lsm"] / len(search_queries), 3)
     extras["search_qps"] = round(
         BATCH_REPS * len(search_queries) / timings["search_batch"], 2)
-    # contention visibility: raw per-round samples + total spread
-    extras["queries_runs"] = runs
+    # contention visibility: total spread inline; the raw per-round
+    # samples and per-entry row counts go to a side file — the driver
+    # records only the tail of stdout, so the final JSON line must stay
+    # well under 2000 chars or it arrives truncated (BENCH_r04.json had
+    # parsed:null for exactly this reason).
     round_totals = [round(sum(r.values()), 3) for r in runs]
     extras["round_totals"] = round_totals
     extras["contention_spread"] = (
         round(max(round_totals) / min(round_totals), 2) if round_totals else None
     )
 
+    side = {"queries_runs": runs}
+    for k in [k for k in extras if k.endswith("_rows")]:
+        side[k] = extras.pop(k)
+    side_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchres",
+        "bench_rounds.json")
+    try:
+        os.makedirs(os.path.dirname(side_path), exist_ok=True)
+        with open(side_path, "w") as f:
+            json.dump(side, f)
+        extras["rounds_file"] = "benchres/bench_rounds.json"
+    except OSError:
+        pass  # read-only checkout: the headline line is self-sufficient
+
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "mithril_spark_bench_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         **extras,
-    }))
+    })
+    # hard guard: never exceed the driver's tail window
+    if len(line) > 1900:
+        slim = {k: v for k, v in extras.items()
+                if k not in ("round_totals",)}
+        line = json.dumps({
+            "metric": "mithril_spark_bench_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            **slim,
+        })
+    print(line)
 
 
 if __name__ == "__main__":
