@@ -363,6 +363,30 @@ def main() -> None:
         round(qscalar_s / qvec_s, 1) if qvec_s > 0 else None
     )
 
+    # --- one-shot large-corpus build point (amortization evidence) ---
+    # Build throughput RISES with corpus size as fixed per-job overheads
+    # amortize (BENCH.md corpus-size curve: 20k -> 100k pages took the
+    # measured rate from ~1.6k to ~4.4k docs/s); this puts a second
+    # corpus scale in the driver artifact itself. Deliberately single-
+    # shot and OUTSIDE the interleaved rounds: the min-of-3 20k headline
+    # stays the contention-robust number, this is the scale curve's
+    # second point (disable with BENCH_LARGE_PAGES=0).
+    n_large = int(os.environ.get("BENCH_LARGE_PAGES", "100000"))
+    if n_large > 0:
+        from mithril_spark.fixtures import generate_pages_df
+        ldir = "/tmp/mithril_bench_index_large"
+        ldf = generate_pages_df(spark, n_large, seed=42).repartition(
+            max(8, cpus // 2)).cache()
+        ldf.count()  # materialize input before the clock starts
+        shutil.rmtree(ldir, ignore_errors=True)
+        t0 = time.time()
+        build_index(ldf, ldir, num_shards=4, force=True)
+        large_s = time.time() - t0
+        extras["index_build_large_pages"] = n_large
+        extras["index_build_large_docs_per_sec"] = round(n_large / large_s, 1)
+        ldf.unpersist()
+        shutil.rmtree(ldir, ignore_errors=True)
+
     build_s = timings["index_build"]
     extras["index_docs_per_sec"] = round(n_pages / build_s, 1)
     extras["index_mb_per_sec"] = round(html_bytes / 1e6 / build_s, 2)
