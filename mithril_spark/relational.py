@@ -27,6 +27,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + round-robin repartition to the session's parallelism.
+
+    The documents/embeddings parquet files are a few MB compressed, so the
+    default 128 MB split size gives 1-2 scan tasks — but the queries over
+    them explode each row 50-100x (tokens, shingles, band rows) and run
+    heavy per-row work (md5, 120 vote sums, numpy matmuls) INSIDE that
+    scan stage, pinning the whole pipeline to 2 of 32 cores (guide §2.5
+    input skew / §6 input split size). A keyless repartition of the tiny
+    base table (a few MB shuffled once) unlocks full-core parallelism for
+    the explode stage; every downstream aggregation here is
+    order-independent, so results are unchanged on any partitioning.
+    Scale-adaptive: at real file sizes the scan already yields >= cores
+    splits and the repartition is skipped.
+    """
+    df = _t(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
+
+
 DEC = "decimal(18,2)"
 DEC4 = "decimal(18,4)"
 
@@ -342,7 +364,7 @@ def _tokens(col):
 
 def q_doc_term_df(spark, sf):
     """Document frequency of the 50 most frequent terms (the term_dict op)."""
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     return (
         d.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("term"))
         .filter(F.col("term") != "")
@@ -364,7 +386,7 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
 
 def q_doc_search_tf(spark, sf):
     """Multi-term search scored by total term frequency (integer-exact)."""
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     terms = ["spark", "query", "join"]
     tok = d.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
@@ -415,7 +437,7 @@ FROM documents GROUP BY source
 
 def q_text_quality(spark, sf):
     """Quality scoring: length + stopword-ratio filters (integer-ratio exact)."""
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     toks = d.select(
         "doc_id", "lang",
         F.explode(_tokens(F.col("text"))).alias("term"),
@@ -450,7 +472,7 @@ WHERE n_tokens >= 20 AND FLOOR((n_stop * 100) / n_tokens) <= 60
 
 def q_lang_id(spark, sf):
     """Heuristic language ID by stopword hits; compare against labeled lang."""
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     toks = d.select("doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("t"))
     scored = toks.groupBy("doc_id", "lang").agg(
         F.sum(F.col("t").isin(_EN_STOP_LIST).cast("int")).alias("en_hits"),
@@ -490,7 +512,7 @@ def q_doc_bm25_topk(spark, sf):
     """
     import math
 
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
     per = toks.groupBy("doc_id").agg(
         F.count("*").alias("dl"),
@@ -586,7 +608,7 @@ def _shingles(spark, sf, k=3):
     md5 is injective on these inputs — but ~10x fewer hash calls), and the
     k-gram is built from element_at lookups instead of array slices (no
     per-position array allocation)."""
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
     raw = toks.select(
         "doc_id",
@@ -866,7 +888,7 @@ def q_dedup_simhash(spark, sf):
 
 def _simhash_sketches(spark, sf):
     """(doc_id, sim1, sim2) 120-bit sketches for every document."""
-    d = _t(spark, sf, "documents")
+    d = _t_wide(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
     # md5 computed ONCE per token (projection boundary forces CSE), then
     # split into the two 60-bit halves
@@ -1005,69 +1027,107 @@ def q_dedup_embedding(spark, sf):
     doubles. Recall is the standard SRP-LSH curve: ~99% at cos 0.95, lower
     near the threshold (a pair is reported iff it shares >= 1 band AND
     verifies — deterministic semantics both engines reproduce exactly).
+
+    r06 execution rewrite (values unchanged, oracle SQL untouched): with
+    4-bit bands there are at most 4x16 buckets, so the candidate set is a
+    constant fraction of all pairs BY DEFINITION of the query. The old
+    plan exploded every candidate pair into Spark rows (a single-task
+    collect_list bucket explode after AQE coalesced the 64-row bucket
+    table to one partition) and re-fetched both 64-long arrays per pair
+    through two joins, evaluating interpreted 64-element lambda
+    aggregates per row — 324 s at sf1.0. Now each bucket's members go to
+    one applyInPandas group that verifies the whole bucket with a chunked
+    int64 numpy matmul (exact: int64 two's-complement matches Java long
+    arithmetic bit-for-bit, including any overflow wraparound) and emits
+    ONLY the surviving pairs; candidate pairs never materialize as rows.
+    The signature bits use the same affine weight formula in numpy int64
+    (the operands are non-negative, so Python floor-mod == Java trunc-mod).
     """
-    q = _quantized(spark, sf).select("vec_id", "q")
+    import numpy as np
+    import pandas as pd
 
-    def dot_j(j):
-        return F.aggregate(
-            F.transform(
-                F.col("q"),
-                lambda x, i: x * (
-                    (F.lit(1103515245) * (i.cast("long") * 97 + j * 31 + 7))
-                    % 65536 - 32768
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    bpb = _EMB_BITS // _EMB_BANDS
+    n_bits, n_bands, t2 = _EMB_BITS, _EMB_BANDS, _EMB_T2
+    q = _quantized(spark, sf, wide=True).select("vec_id", "q")
 
-    sig = q.select(
-        "vec_id", "q",
-        *[(dot_j(j) >= 0).cast("int").alias(f"s{j}") for j in range(_EMB_BITS)],
-    )
-    bits_per_band = _EMB_BITS // _EMB_BANDS
-    band_structs = []
-    for b in range(_EMB_BANDS):
-        val = F.lit(0)
-        for k in range(bits_per_band):
-            val = val + F.col(f"s{b * bits_per_band + k}") * (1 << k)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), val.alias("band_val"))
-        )
-    bands = sig.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vec_id", F.col("bb.band").alias("band"),
-             F.col("bb.band_val").alias("band_val"))
-    # one groupBy-bucket + pairwise expansion instead of a bands self-join:
-    # the join would evaluate the 16-dot-product signature subtree once per
-    # side (exchange reuse does not deduplicate it) — see _simhash_candidates
-    cand = (
-        bands.groupBy("band", "band_val")
-        .agg(F.collect_list("vec_id").alias("vs"))
-        .select(F.explode("vs").alias("vec_a"), "vs")
-        .select("vec_a", F.explode("vs").alias("vec_b"))
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .distinct()
-    )
-    qa = q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
-    qb = q.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.aggregate(
-        F.transform(F.col(c), lambda x: x * x),
-        F.lit(0).cast("long"), lambda acc, x: acc + x,
-    )
+    def band_rows(pdf_iter):
+        weights = {}
+        pw = 1 << np.arange(bpb, dtype=np.int64)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            # group by vector length: handles (hypothetical) ragged input
+            # without an object-dtype fallback; one group in practice
+            lens = pdf["q"].map(len).to_numpy()
+            for d in np.unique(lens):
+                sub = pdf[lens == d]
+                Q = np.array(sub["q"].tolist(), dtype=np.int64)
+                if d not in weights:
+                    i = np.arange(d, dtype=np.int64)[:, None]
+                    j = np.arange(n_bits, dtype=np.int64)[None, :]
+                    weights[d] = (
+                        1103515245 * (i * 97 + j * 31 + 7)) % 65536 - 32768
+                S = (Q @ weights[d]) >= 0  # (n, bits) sign bits
+                for b in range(n_bands):
+                    bv = S[:, b * bpb:(b + 1) * bpb].astype(np.int64) @ pw
+                    yield pd.DataFrame({
+                        "vec_id": sub["vec_id"].to_numpy(),
+                        "band": np.full(len(sub), b, dtype=np.int32),
+                        "band_val": bv,
+                        "q": sub["q"],
+                    })
+
+    bands = q.mapInPandas(
+        band_rows, "vec_id long, band int, band_val long, q array<long>")
+
+    out_schema = "vec_a long, vec_b long, dot long, norm_a long, norm_b long"
+    empty = {
+        "vec_a": np.empty(0, np.int64), "vec_b": np.empty(0, np.int64),
+        "dot": np.empty(0, np.int64), "norm_a": np.empty(0, np.int64),
+        "norm_b": np.empty(0, np.int64),
+    }
+
+    def verify_bucket(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        cols = {k: [] for k in empty}
+        # a cross-length pair's zip_with dot is NULL in the expression form
+        # (zip_with null-pads), so it never passes dot > 0: verifying each
+        # length class independently is value-identical
+        all_lens = pdf["q"].map(len).to_numpy()
+        for d in np.unique(all_lens):
+            sub = pdf[all_lens == d]
+            n = len(sub)
+            if n < 2:
+                continue
+            order = np.argsort(sub["vec_id"].to_numpy(), kind="stable")
+            ids = sub["vec_id"].to_numpy()[order]
+            Q = np.array(sub["q"].to_numpy()[order].tolist(), dtype=np.int64)
+            norms = np.einsum("ij,ij->i", Q, Q)
+            # chunk rows so the (chunk x n) Gram block stays ~32 MB
+            chunk = max(128, min(4096, (1 << 22) // n))
+            with np.errstate(over="ignore"):
+                for i0 in range(0, n, chunk):
+                    i1 = min(i0 + chunk, n)
+                    G = Q[i0:i1] @ Q.T  # exact int64 dots
+                    ok = (np.arange(n)[None, :]
+                          > np.arange(i0, i1)[:, None]) \
+                        & (G > 0) \
+                        & (100 * G * G
+                           >= t2 * norms[i0:i1, None] * norms[None, :])
+                    ii, jj = np.nonzero(ok)
+                    cols["vec_a"].append(ids[ii + i0])
+                    cols["vec_b"].append(ids[jj])
+                    cols["dot"].append(G[ii, jj])
+                    cols["norm_a"].append(norms[ii + i0])
+                    cols["norm_b"].append(norms[jj])
+        return pd.DataFrame(
+            {k: np.concatenate(v) if v else empty[k] for k, v in cols.items()})
+
     return (
-        cand.join(qa, "vec_a").join(qb, "vec_b")
-        .select(
-            "vec_a", "vec_b", dot.alias("dot"),
-            norm("qa").alias("norm_a"), norm("qb").alias("norm_b"),
-        )
-        .filter((F.col("dot") > 0)
-                & (100 * F.col("dot") * F.col("dot")
-                   >= _EMB_T2 * F.col("norm_a") * F.col("norm_b")))
+        bands.groupBy("band", "band_val")
+        .applyInPandas(verify_bucket, out_schema)
+        .distinct()
     )
 
 
@@ -1128,8 +1188,8 @@ Q_DEDUP_EMBEDDING_SQL = _emb_sql()
 # Similarity search over `embeddings`
 # --------------------------------------------------------------------------
 
-def _quantized(spark, sf):
-    e = _t(spark, sf, "embeddings")
+def _quantized(spark, sf, wide=False):
+    e = (_t_wide if wide else _t)(spark, sf, "embeddings")
     return e.select(
         "vec_id", "label",
         F.transform(
