@@ -725,7 +725,7 @@ _MH_A = [769_12_341 + 2_654_435_761 * i % 1_000_003_519 for i in range(N_MINHASH
 _MH_B = [97 + 40_503 * i for i in range(N_MINHASH)]
 
 
-def _verify_jaccard(cand, sh, t_num: int, t_den: int):
+def _verify_jaccard(cand, sh, t_num: int, t_den: int, prefilter: bool = False):
     """Exact jaccard verification of candidate pairs (threshold t_num/t_den).
 
     One groupBy packs each doc's distinct shingles into a sorted array;
@@ -733,7 +733,24 @@ def _verify_jaccard(cand, sh, t_num: int, t_den: int):
     the candidate side — the shingle table never reshuffles per side) and
     the intersection is computed with array_intersect. Values identical to
     the row-level count, with one shuffle instead of three.
+
+    prefilter=True (r06, guide §2.3 "shuffle fewer bytes"): materialize the
+    candidate pairs once (localCheckpoint — they are a few thousand rows)
+    and semi-join the shingle table down to docs that actually appear in a
+    pair BEFORE the collect_list shuffle. At sf1.0 minhash has 2.6 M
+    shingle rows but only ~5 k candidate docs, so the per-doc array build
+    was 95% wasted work (verify 4.8 s -> sub-second). Values unchanged:
+    the join against cand discarded non-candidate docs anyway. Off for
+    callers whose candidate set may span most docs (q_dedup_jaccard).
     """
+    if prefilter:
+        cand = cand.localCheckpoint()
+        need = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(need), "doc_id", "leftsemi")
     doc_arr = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("arr"),
         F.count("*").alias("sz"),
@@ -802,8 +819,10 @@ def q_dedup_minhash_lsh(spark, sf):
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    # verify candidates with true jaccard >= 0.5
-    return _verify_jaccard(cand, sh, 1, 2)
+    # verify candidates with true jaccard >= 0.5 (prefilter: the band
+    # buckets yield ~n/10000 candidate docs, so the verify join only needs
+    # that sliver of the shingle table)
+    return _verify_jaccard(cand, sh, 1, 2, prefilter=True)
 
 
 def _minhash_band_sql() -> str:
@@ -874,16 +893,7 @@ def q_dedup_simhash(spark, sf):
       and the smallest band now has 4096 values (vs 128), so the candidate
       join is O(n^2/4096) worst case instead of /128.
     """
-    cand = _simhash_candidates(_simhash_sketches(spark, sf))
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("s1a").bitwiseXOR(F.col("s1b")))
-            + F.bit_count(F.col("s2a").bitwiseXOR(F.col("s2b"))),
-        )
-        .filter(F.col("hamming") <= 8)
-        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
-    )
+    return _simhash_candidates(_simhash_sketches(spark, sf), max_hamming=8)
 
 
 def _simhash_sketches(spark, sf):
@@ -919,7 +929,7 @@ def _simhash_sketches(spark, sf):
     return votes.select("doc_id", _sim(1).alias("sim1"), _sim(2).alias("sim2"))
 
 
-def _simhash_candidates(sim):
+def _simhash_candidates(sim, max_hamming: int | None = None):
     """Banded candidate pairs from (doc_id, sim1, sim2) sketches — split out
     so the sub-quadratic candidate-count property is directly testable.
 
@@ -927,10 +937,19 @@ def _simhash_candidates(sim):
     a bands-to-bands self-join: the self-join evaluates the expensive
     sketch subtree (120 conditional sums per token row) once PER SIDE —
     Spark's exchange reuse does not deduplicate it — so bucketing computes
-    the sketches exactly once and roughly halves the wall time. The pair
-    count per bucket is B*(B-1)/2 either way (a degenerate hot bucket is
-    output-bound, not a join-strategy artifact); each bucket row carries
-    only (doc_id, sim1, sim2) triples, 24 bytes per member."""
+    the sketches exactly once. The pair count per bucket is B*(B-1)/2
+    either way; each bucket row carries only (doc_id, sim1, sim2)
+    triples, 24 bytes per member. With ``max_hamming`` the hamming
+    computation + filter are folded in BEFORE the distinct (exactly what
+    Catalyst's filter pushdown did for the caller-side filter, stated
+    explicitly), so the distinct only sees surviving pairs.
+
+    r06 note: a numpy applyInPandas bucket expansion (like
+    q_dedup_embedding's) was tried and measured 3x SLOWER here — the
+    simhash band space has ~hundreds of thousands of 1-12-member buckets
+    and per-group pandas overhead dominates, whereas embedding has 64
+    large buckets. The JVM codegen explode streams those small buckets
+    with no per-group cost."""
     band_structs = []
     for i in range(4):  # half 1: 4 bands x 15 bits
         band_structs.append(F.struct(
@@ -951,15 +970,27 @@ def _simhash_candidates(sim):
     buckets = bands.groupBy("band", "band_val").agg(
         F.collect_list(F.struct("doc_id", "sim1", "sim2")).alias("ds")
     )
-    return (
+    pairs = (
         buckets.select(F.explode("ds").alias("a"), "ds")
         .select("a", F.explode("ds").alias("b"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+    )
+    if max_hamming is None:
+        return pairs.select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
             F.col("a.sim1").alias("s1a"), F.col("a.sim2").alias("s2a"),
             F.col("b.sim1").alias("s1b"), F.col("b.sim2").alias("s2b"),
+        ).distinct()
+    hamming = (
+        F.bit_count(F.col("a.sim1").bitwiseXOR(F.col("b.sim1")))
+        + F.bit_count(F.col("a.sim2").bitwiseXOR(F.col("b.sim2")))
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
 
@@ -1104,12 +1135,23 @@ def q_dedup_embedding(spark, sf):
             ids = sub["vec_id"].to_numpy()[order]
             Q = np.array(sub["q"].to_numpy()[order].tolist(), dtype=np.int64)
             norms = np.einsum("ij,ij->i", Q, Q)
+            # float64 BLAS is ~7x faster than numpy's int64 matmul and is
+            # EXACT whenever every partial sum is an integer below 2^53
+            # (|dot| <= dim * max|q|^2; quantized unit-ish vectors are
+            # ~5e2 per element, bound ~2e7); fall back to int64 when the
+            # data could exceed that
+            amax = int(np.abs(Q).max(initial=0))
+            use_blas = int(d) * amax * amax < (1 << 53)  # python ints: no overflow
+            Qf = Q.astype(np.float64) if use_blas else None
             # chunk rows so the (chunk x n) Gram block stays ~32 MB
             chunk = max(128, min(4096, (1 << 22) // n))
             with np.errstate(over="ignore"):
                 for i0 in range(0, n, chunk):
                     i1 = min(i0 + chunk, n)
-                    G = Q[i0:i1] @ Q.T  # exact int64 dots
+                    if use_blas:
+                        G = (Qf[i0:i1] @ Qf.T).astype(np.int64)
+                    else:
+                        G = Q[i0:i1] @ Q.T  # exact int64 dots
                     ok = (np.arange(n)[None, :]
                           > np.arange(i0, i1)[:, None]) \
                         & (G > 0) \

@@ -81,13 +81,18 @@ def test_dedup_candidates_evaluate_sketch_once(spark):
     assert p.count("Scan parquet") == 1, p[:3000]
     p = _plan(R.q_dedup_simhash(spark, sf))
     assert p.count("Scan parquet") == 1, p[:3000]
-    # embedding: bands + the two verify sides = 3 scans (self-join: 4)
+    # embedding (r06 numpy bucket verify): bands carry the quantized
+    # vectors into the buckets, so the WHOLE query — signature, candidate
+    # buckets AND exact verification — reads embeddings exactly once
+    # (the r5 expression plan re-joined the vectors per pair: 3 scans)
     p = _plan(R.q_dedup_embedding(spark, sf))
-    assert p.count("Scan parquet") == 3, p[:3000]
-    # minhash: shingles are cached; signature agg + two Jaccard-verify
-    # sides = 3 reads of the cache (self-join: 4)
+    assert p.count("Scan parquet") == 1, p[:3000]
+    # minhash: shingles are cached; signature agg + ONE Jaccard-verify
+    # doc-array side = 2 reads of the cache (the candidate pairs are
+    # localCheckpointed once and feed the semi-join + both pair joins
+    # from that materialization, r06)
     p = _plan(R.q_dedup_minhash_lsh(spark, sf))
-    assert p.count("InMemoryTableScan") == 3, p[:3000]
+    assert p.count("InMemoryTableScan") == 2, p[:3000]
 
 
 def test_posting_build_has_no_extra_shuffle(spark, small_index):
