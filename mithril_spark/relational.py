@@ -944,12 +944,18 @@ def _simhash_candidates(sim, max_hamming: int | None = None):
     Catalyst's filter pushdown did for the caller-side filter, stated
     explicitly), so the distinct only sees surviving pairs.
 
-    r06 note: a numpy applyInPandas bucket expansion (like
-    q_dedup_embedding's) was tried and measured 3x SLOWER here — the
-    simhash band space has ~hundreds of thousands of 1-12-member buckets
-    and per-group pandas overhead dominates, whereas embedding has 64
-    large buckets. The JVM codegen explode streams those small buckets
-    with no per-group cost."""
+    r06 notes — two numpy variants were built, measured SLOWER at sf1.0,
+    and rejected (don't re-try):
+    * all-buckets applyInPandas popcount: 16-19 s vs 5.6 s — 24k pandas
+      groups x per-group overhead dominates (embedding wins with the
+      same shape because it has only 64 large buckets);
+    * HYBRID (JVM explode for <64-member buckets + numpy XOR/LUT
+      popcount for the 1,144 big ones carrying 388M of 391M pairs):
+      20-23 s — the (chunk x n) XOR outer product + uint16 LUT gathers
+      move ~25 GB of temp arrays and this box saturates memory
+      bandwidth at ~16 cores, while the JVM explode+bit_count streams
+      the same pairs register-resident through whole-stage codegen at
+      ~100M pairs/s. The explode shape is the right engine here."""
     band_structs = []
     for i in range(4):  # half 1: 4 bands x 15 bits
         band_structs.append(F.struct(
@@ -1247,6 +1253,12 @@ def q_ann_cosine_topk(spark, sf):
     Quantization (round(x*1000) -> int64) makes the reduction exact and
     order-independent — the same result on any partitioning, unlike a
     double-precision sum.
+
+    r06 note: a numpy mapInPandas dot (like the dedup rewrites) was
+    tried and measured SLOWER (1.4 s vs 1.1 s at sf1.0) — shipping both
+    64-long arrays per row across the Arrow boundary costs more than
+    the interpreted aggregate/zip_with lambda saves at this dot count.
+    Kept the expression form.
     """
     q = _quantized(spark, sf)
     target = q.filter(F.col("vec_id") == 0).select(
