@@ -48,9 +48,10 @@ def test_cogroup_path_rank_identity(spark, corpus, oracle_pages,
 @pytest.mark.parametrize("shards", [1, 3])
 def test_distributed_collect_path_rank_identity(spark, corpus, oracle_pages,
                                                 tmp_path_factory, shards):
-    """driver_serve_bytes=0 disables the resident fast path: the payload
-    collect + worker-image mapInPandas path (the at-scale default) must
-    stay rank-identical to the oracle."""
+    """driver_serve_bytes=0 disables the resident fast path: the DIRECT
+    worker-image tier (r06: one mapInPandas job, per-task pyarrow payload
+    reads — the at-scale default) must stay rank-identical to the oracle,
+    and its WAND/snippets APIs must agree with the resident path."""
     from mithril_spark.engine import SearchEngine
 
     path = _index(spark, corpus, tmp_path_factory, shards)
@@ -59,6 +60,11 @@ def test_distributed_collect_path_rank_identity(spark, corpus, oracle_pages,
     oracle = OracleIndex.build(oracle_pages, num_shards=shards)
     for q in QUERY_SET:
         assert engine.top_k(q) == oracle.top_k(q), (shards, q)
+    resident = SearchEngine(spark, path)
+    for q in ["search engine", "granite OR marble"]:
+        assert engine.bm25_topk(q, k=5) == resident.bm25_topk(q, k=5), q
+        assert engine.top_k_with_snippets(q) == \
+            resident.top_k_with_snippets(q), q
 
 
 def test_worker_image_cache_is_lru(tmp_path, monkeypatch):
@@ -100,6 +106,47 @@ def test_worker_image_cache_is_lru(tmp_path, monkeypatch):
     assert keys == {0, 2}
     engine._worker_image(idx, 0, "tok")   # still resident — no reload
     assert engine._IMAGE_LOADS == 3
+
+
+def test_direct_payload_read_equals_union_scan(spark, corpus,
+                                               tmp_path_factory):
+    """r06 direct worker tier: _read_shard_payload (per-task pyarrow read)
+    must yield EXACTLY the payload tuples the Spark pruned-union scan
+    yields for the same (shard, terms) — the tier's entire correctness
+    contract, asserted at the payload level (the e2e rank-identity tests
+    would also catch a divergence, but only if it flips a top-50)."""
+    from mithril_spark.engine import SearchEngine, _read_shard_payload
+
+    path = _index(spark, corpus, tmp_path_factory, 3)
+    e = SearchEngine(spark, path, driver_serve_bytes=0)
+    nb = e.meta["num_buckets"]
+    pt = frozenset({"search", "engine", "granite", "thermite"})
+    xt = frozenset({"search", "engine"})
+    dt = frozenset({"search", "engine", "granite"})
+    rows = e._blocks_df(pt, xt, dt).collect()
+    by_shard: dict[int, dict[str, set]] = {}
+    for r in rows:
+        pl = by_shard.setdefault(int(r["shard"]),
+                                 {"P": set(), "X": set(), "D": set()})
+        if r["kind"] == "P":
+            pl["P"].add((r["term"], int(r["salt"]), int(r["block_id"]),
+                         int(r["doc_count"]), int(r["first_doc_id"]),
+                         int(r["last_doc_id"]), int(r["max_freq"]),
+                         None if r["max_tfn"] is None else float(r["max_tfn"]),
+                         bytes(r["doc_ids_enc"]), bytes(r["freqs_enc"])))
+        elif r["kind"] == "X":
+            pl["X"].add((r["term"], int(r["salt"]), int(r["first_doc_id"]),
+                         bytes(r["doc_ids_enc"]), bytes(r["flags_enc"]),
+                         bytes(r["pos_counts_enc"]),
+                         bytes(r["positions_enc"])))
+        else:
+            pl["D"].add((r["term"], int(r["doc_count"])))
+    assert by_shard, "fixture terms matched nothing"
+    for shard in sorted(e.stats):
+        got = _read_shard_payload(path, shard, pt, xt, dt, nb)
+        want = by_shard.get(shard, {"P": set(), "X": set(), "D": set()})
+        for kind in ("P", "X", "D"):
+            assert set(map(tuple, got[kind])) == want[kind], (shard, kind)
 
 
 def test_image_load_stats_plumbing(spark, corpus, tmp_path_factory):
